@@ -1,0 +1,216 @@
+"""Chunked FASTQ decode into padded device-ready batches, and parity writers.
+
+Replaces the reference's two record readers (klib kseq.h:171-211 and the
+ad-hoc 4x gzgets loops, e.g. reference fastq_trim.c:67-89) with a vectorized
+chunk parser: one numpy pass finds line breaks, a single gather pads
+sequences/qualities into [B, Lmax] uint8 matrices. Names never go to the
+device; they stay as a host-side byte blob + offsets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator
+
+import numpy as np
+
+from .ragged import gather_padded, ragged_arange, round_up
+from .stream import open_input
+
+DEFAULT_CHUNK_BYTES = 64 << 20
+
+
+@dataclasses.dataclass
+class FastqBatch:
+    """One padded batch of FASTQ records.
+
+    seq/qual: uint8 [B, Lmax] zero-padded; lens: int32 [B];
+    names: flat uint8 blob of name lines (no '\\n', includes leading '@');
+    name_starts/name_lens: int64/int32 [B] into `names`;
+    plus: same layout for the '+' lines (often all "+").
+    """
+
+    seq: np.ndarray
+    qual: np.ndarray
+    lens: np.ndarray
+    names: np.ndarray
+    name_starts: np.ndarray
+    name_lens: np.ndarray
+    plus: np.ndarray | None = None
+    plus_starts: np.ndarray | None = None
+    plus_lens: np.ndarray | None = None
+
+    @property
+    def n(self) -> int:
+        return len(self.lens)
+
+    @property
+    def lmax(self) -> int:
+        return self.seq.shape[1] if self.seq.ndim == 2 else 0
+
+    def name(self, i: int) -> bytes:
+        s = int(self.name_starts[i])
+        return self.names[s:s + int(self.name_lens[i])].tobytes()
+
+    def seq_bytes(self, i: int) -> bytes:
+        return self.seq[i, : int(self.lens[i])].tobytes()
+
+    def qual_bytes(self, i: int) -> bytes:
+        return self.qual[i, : int(self.lens[i])].tobytes()
+
+    def take(self, idx: np.ndarray) -> "FastqBatch":
+        """Row-subset batch (host-side); name blob re-sliced lazily."""
+        idx = np.asarray(idx)
+        nl = self.name_lens[idx]
+        nstart_new = np.zeros(len(idx), dtype=np.int64)
+        if len(idx):
+            np.cumsum(nl[:-1].astype(np.int64), out=nstart_new[1:])
+        src = np.repeat(self.name_starts[idx].astype(np.int64), nl) + ragged_arange(nl)
+        return FastqBatch(
+            seq=self.seq[idx], qual=self.qual[idx], lens=self.lens[idx],
+            names=self.names[src], name_starts=nstart_new, name_lens=nl)
+
+
+def _parse_chunk(data: np.ndarray, keep_plus: bool, pad_to: int) -> FastqBatch:
+    """Parse a byte array holding a whole number of 4-line FASTQ records."""
+    nl = np.flatnonzero(data == 0x0A)
+    if len(nl) % 4:
+        raise ValueError(f"FASTQ chunk has {len(nl)} lines (not a multiple of 4)")
+    starts = np.empty(len(nl), dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = nl[:-1] + 1
+    line_lens = nl - starts  # without the newline
+
+    b = len(nl) // 4
+    name_starts, seq_starts = starts[0::4], starts[1::4]
+    name_lens = line_lens[0::4].astype(np.int32)
+    seq_lens = line_lens[1::4].astype(np.int32)
+    qual_starts = starts[3::4]
+    qual_lens = line_lens[3::4].astype(np.int32)
+
+    lmax = max(int(seq_lens.max()) if b else 0, int(qual_lens.max()) if b else 0)
+    lmax = max(round_up(max(lmax, 1), pad_to), pad_to)
+    seq = gather_padded(data, seq_starts, seq_lens, lmax)
+    qual = gather_padded(data, qual_starts, qual_lens, lmax)
+
+    # Names: compact blob (drop seq/qual bytes so batches can be retained).
+    nsrc = np.repeat(name_starts, name_lens.astype(np.int64)) + ragged_arange(name_lens)
+    names = data[nsrc]
+    new_name_starts = np.zeros(b, dtype=np.int64)
+    if b:
+        np.cumsum(name_lens[:-1].astype(np.int64), out=new_name_starts[1:])
+
+    batch = FastqBatch(seq=seq, qual=qual, lens=seq_lens, names=names,
+                       name_starts=new_name_starts, name_lens=name_lens)
+    if keep_plus:
+        plus_starts, plus_lens = starts[2::4], line_lens[2::4].astype(np.int32)
+        psrc = np.repeat(plus_starts, plus_lens.astype(np.int64)) + ragged_arange(plus_lens)
+        batch.plus = data[psrc]
+        batch.plus_starts = np.zeros(b, dtype=np.int64)
+        if b:
+            np.cumsum(plus_lens[:-1].astype(np.int64), out=batch.plus_starts[1:])
+        batch.plus_lens = plus_lens
+    return batch
+
+
+class FastqChunkReader:
+    """Stream a FASTQ file (plain or gzip, '-'=stdin) as padded batches."""
+
+    def __init__(self, path: str | None, chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+                 keep_plus: bool = False, pad_to: int = 128):
+        self.path = path
+        self.chunk_bytes = chunk_bytes
+        self.keep_plus = keep_plus
+        self.pad_to = pad_to
+
+    def __iter__(self) -> Iterator[FastqBatch]:
+        stream = open_input(self.path)
+        tail = b""
+        try:
+            while True:
+                data = stream.read(self.chunk_bytes)
+                if not data:
+                    if tail:
+                        if not tail.endswith(b"\n"):
+                            tail += b"\n"  # tolerate missing final newline
+                        yield _parse_chunk(np.frombuffer(tail, dtype=np.uint8),
+                                           self.keep_plus, self.pad_to)
+                    return
+                buf = tail + data if tail else data
+                cut = _record_boundary(buf)
+                tail = buf[cut:]
+                if cut:
+                    yield _parse_chunk(np.frombuffer(buf[:cut], dtype=np.uint8),
+                                       self.keep_plus, self.pad_to)
+        finally:
+            stream.close()
+
+
+def _record_boundary(buf: bytes) -> int:
+    """Largest offset that ends a whole number of 4-line records."""
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    nl = np.flatnonzero(arr == 0x0A)
+    n_full = (len(nl) // 4) * 4
+    if n_full == 0:
+        return 0
+    return int(nl[n_full - 1]) + 1
+
+
+def read_fastq_batches(path: str | None, **kw) -> Iterator[FastqBatch]:
+    return iter(FastqChunkReader(path, **kw))
+
+
+def format_fastq(names: np.ndarray, name_starts: np.ndarray, name_lens: np.ndarray,
+                 seq: np.ndarray, qual: np.ndarray, lens: np.ndarray,
+                 qual_lens: np.ndarray | None = None,
+                 count_suffix: np.ndarray | None = None) -> bytes:
+    """Vectorized FASTQ text assembly: name[+suffix]\\nseq\\n+\\nqual\\n.
+
+    Matches the writer format shared by the reference tools
+    (e.g. reference fastq_trim.c:101, gzfastq_sample.c:33). `count_suffix`
+    optionally appends per-record ascii suffix bytes to the name line
+    (reference gzfastq_sample.c renames reads `name_i`).
+    """
+    from .ragged import scatter_fields
+
+    b = len(lens)
+    lens64 = lens.astype(np.int64)
+    qlens64 = lens64 if qual_lens is None else qual_lens.astype(np.int64)
+    nlens64 = name_lens.astype(np.int64)
+    if count_suffix is not None:
+        suf_lens = np.asarray([len(s) for s in count_suffix], dtype=np.int64)
+    else:
+        suf_lens = np.zeros(b, dtype=np.int64)
+
+    rec_lens = nlens64 + suf_lens + 1 + lens64 + 1 + 2 + qlens64 + 1
+    rec_starts = np.zeros(b, dtype=np.int64)
+    if b:
+        np.cumsum(rec_lens[:-1], out=rec_starts[1:])
+    total = int(rec_lens.sum())
+
+    name_src = np.repeat(name_starts.astype(np.int64), nlens64) + ragged_arange(nlens64)
+    flat_names = names[name_src]
+    flat_seq = seq[np.arange(seq.shape[1])[None, :] < lens64[:, None]]
+    flat_qual = qual[np.arange(qual.shape[1])[None, :] < qlens64[:, None]]
+
+    nl = np.full(b, 0x0A, dtype=np.uint8)
+    plus_nl = np.tile(np.frombuffer(b"+\n", dtype=np.uint8), b)
+    ones = np.ones(b, dtype=np.int64)
+    twos = np.full(b, 2, dtype=np.int64)
+
+    fields_starts = [rec_starts,
+                     rec_starts + nlens64 + suf_lens,
+                     rec_starts + nlens64 + suf_lens + 1,
+                     rec_starts + nlens64 + suf_lens + 1 + lens64,
+                     rec_starts + nlens64 + suf_lens + 1 + lens64 + 1,
+                     rec_starts + nlens64 + suf_lens + 1 + lens64 + 1 + 2,
+                     rec_starts + nlens64 + suf_lens + 1 + lens64 + 3 + qlens64]
+    fields_bytes = [flat_names, nl, flat_seq, nl, plus_nl, flat_qual, nl]
+    fields_lens = [nlens64, ones, lens64, ones, twos, qlens64, ones]
+    if count_suffix is not None:
+        flat_suf = np.frombuffer(b"".join(count_suffix), dtype=np.uint8)
+        fields_starts.insert(1, rec_starts + nlens64)
+        fields_bytes.insert(1, flat_suf)
+        fields_lens.insert(1, suf_lens)
+
+    return scatter_fields(total, fields_starts, fields_bytes, fields_lens).tobytes()

@@ -1,0 +1,66 @@
+"""Deterministic random FASTQ/BAM fixture generators for differential tests.
+
+Modeled on the role of fastq-tools' tests/random_fastq.c in the reference
+ecosystem (SURVEY.md §4): generate synthetic inputs, run both the compiled C
+oracle and the ngstpu implementation, assert equivalence.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+import numpy as np
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+BASES_N = np.frombuffer(b"ACGTN", dtype=np.uint8)
+
+
+def random_fastq(n_reads: int, read_len: int = 100, seed: int = 0,
+                 var_len: bool = False, min_len: int = 30,
+                 with_n: bool = False, name_prefix: str = "read",
+                 with_comment: bool = False, dup_frac: float = 0.0,
+                 qual_lo: int = 33, qual_hi: int = 74) -> bytes:
+    """Generate FASTQ text. dup_frac makes that fraction of reads copies of
+    earlier reads (for dedup tests)."""
+    rng = np.random.default_rng(seed)
+    lens = (rng.integers(min_len, read_len + 1, n_reads) if var_len
+            else np.full(n_reads, read_len, dtype=np.int64))
+    alphabet = BASES_N if with_n else BASES
+    out = io.BytesIO()
+    seqs: list[bytes] = []
+    for i in range(n_reads):
+        li = int(lens[i])
+        if dup_frac > 0 and i > 0 and rng.random() < dup_frac:
+            j = int(rng.integers(0, len(seqs)))
+            seq = seqs[j]
+            li = len(seq)
+        else:
+            seq = alphabet[rng.integers(0, len(alphabet), li)].tobytes()
+        seqs.append(seq)
+        qual = rng.integers(qual_lo, qual_hi + 1, li, dtype=np.uint8).tobytes()
+        name = f"@{name_prefix}_{i}"
+        if with_comment:
+            name += f" comment/{i % 2 + 1}"
+        out.write(name.encode() + b"\n" + seq + b"\n+\n" + qual + b"\n")
+    return out.getvalue()
+
+
+def random_fastq_pair(n_reads: int, read_len: int = 100, seed: int = 0,
+                      **kw) -> tuple[bytes, bytes]:
+    r1 = random_fastq(n_reads, read_len, seed, name_prefix="pair", **kw)
+    r2 = random_fastq(n_reads, read_len, seed + 1, name_prefix="pair", **kw)
+    return r1, r2
+
+
+def gz(data: bytes) -> bytes:
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+        f.write(data)
+    return buf.getvalue()
+
+
+def write_fixture(tmp_path, name: str, data: bytes) -> str:
+    p = tmp_path / name
+    p.write_bytes(data)
+    return str(p)

@@ -1,0 +1,110 @@
+"""Compile-and-run harness for the reference C tools (golden oracles).
+
+The reference has no tests of its own (SURVEY.md §4); our parity strategy is
+differential: compile the unmodified reference sources out-of-tree into
+.cache/oracles/ (never committed) and byte-compare outputs. Tools that only
+need zlib/pthread compile directly; the BAM trio needs vendored samtools and
+is built lazily from the reference tarball.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import shutil
+import subprocess
+
+REF = pathlib.Path("/root/reference")
+REPO = pathlib.Path(__file__).resolve().parents[2]
+ORACLE_DIR = REPO / ".cache" / "oracles"
+
+# tool -> (sources, extra flags). All compiled with -I$REF -lz.
+SIMPLE_TOOLS: dict[str, tuple[list[str], list[str]]] = {
+    "fastq_count": (["fastq_count.c"], ["-lpthread"]),
+    "fastq_trim": (["fastq_trim.c"], []),
+    "pick_pair": (["pick_pair.c"], []),
+    "gzfastq_sort": (["gzfastq_sort.c"], []),
+    "gzfastq_sort_list": (["gzfastq_sort_list.c", "list.c"], []),
+    "gzfastq_uniq": (["gzfastq_uniq.c", "hiredis/dict.c", "hiredis/sds.c"], []),
+    "gzfastq_uniqQ": (["gzfastq_uniqQ.c", "hiredis/dict.c", "hiredis/sds.c",
+                       "list.c"], []),
+    "gzfastq_uniq_sort": (["gzfastq_uniq_sort.c", "hashtbl.c"], []),
+    "gzfastq_mrle": (["gzfastq_mrle.c", "list.c"], []),
+    "fastq2twobit": (["fastq2twobit.c", "hiredis/sds.c", "list.c"], []),
+    "twoBit2seq": (["twoBit2seq.c", "hiredis/sds.c"], []),
+    "fastq_count_kthread": (["fastq_count_kthread.c", "klib/kthread.c"],
+                            ["-lpthread"]),
+}
+
+_FASTQ_TOOLS_SRC = "fastq-tools-0.7"
+
+
+def have_toolchain() -> bool:
+    return shutil.which("gcc") is not None or shutil.which("cc") is not None
+
+
+def _cc() -> str:
+    return shutil.which("gcc") or shutil.which("cc")  # type: ignore[return-value]
+
+
+def build_oracle(tool: str) -> str | None:
+    """Build a reference tool; returns binary path or None if unavailable."""
+    ORACLE_DIR.mkdir(parents=True, exist_ok=True)
+    exe = ORACLE_DIR / tool
+    if exe.exists():
+        return str(exe)
+    if not have_toolchain():
+        return None
+    if tool == "gzfastq_sample":
+        return _build_gzfastq_sample()
+    if tool not in SIMPLE_TOOLS:
+        return None
+    srcs, extra = SIMPLE_TOOLS[tool]
+    cmd = [_cc(), "-O2", "-w", "-o", str(exe)] + \
+        [str(REF / s) for s in srcs] + [f"-I{REF}", f"-I{REF}/hiredis",
+                                        f"-I{REF}/klib", "-lz", "-lm"] + extra
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired):
+        return None
+    return str(exe) if exe.exists() else None
+
+
+def _build_gzfastq_sample() -> str | None:
+    """gzfastq_sample needs fastq-tools rng.c + common.c from the tarball."""
+    exe = ORACLE_DIR / "gzfastq_sample"
+    vendor = REPO / ".cache" / "ref-vendor"
+    src_dir = vendor / _FASTQ_TOOLS_SRC / "src"
+    if not src_dir.exists():
+        vendor.mkdir(parents=True, exist_ok=True)
+        tarball = REF / "fastq-tools-0.7.tar.gz"
+        try:
+            subprocess.run(["tar", "xzf", str(tarball)], cwd=vendor,
+                           check=True, timeout=60)
+        except subprocess.CalledProcessError:
+            return None
+    # common.c needs config.h/version.h; synthesize minimal ones.
+    for hdr, text in (("config.h", '#define VERSION "0.7"\n'),
+                      ("version.h",
+                       '#define FASTQ_TOOLS_VERSION "0.7"\n')):
+        f = src_dir / hdr
+        if not f.exists():
+            f.write_text(text)
+    cmd = [_cc(), "-O2", "-w", "-DHAVE_CONFIG_H", "-o", str(exe),
+           str(REF / "gzfastq_sample.c"), str(src_dir / "rng.c"),
+           str(src_dir / "common.c"),
+           f"-I{REF}", f"-I{src_dir}", "-lz", "-lm"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except subprocess.CalledProcessError:
+        return None
+    return str(exe) if exe.exists() else None
+
+
+def run_oracle(tool: str, args: list[str], cwd: str,
+               stdin: bytes | None = None) -> subprocess.CompletedProcess | None:
+    exe = build_oracle(tool)
+    if exe is None:
+        return None
+    return subprocess.run([exe] + args, cwd=cwd, input=stdin,
+                          capture_output=True, timeout=600)

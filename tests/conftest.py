@@ -1,0 +1,21 @@
+"""Test config: run JAX on CPU with 8 virtual devices so multi-chip sharding
+paths are exercised without TPU hardware. Must run before jax is imported."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+import sys
+
+_repo = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_repo))
+
+# Persistent XLA compilation cache: makes repeated test runs fast.
+_cache = _repo / ".cache" / "jax"
+_cache.mkdir(parents=True, exist_ok=True)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(_cache))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
