@@ -160,6 +160,26 @@ def read_fastq_batches(path: str | None, **kw) -> Iterator[FastqBatch]:
     return iter(FastqChunkReader(path, **kw))
 
 
+def count_reads(path: str | None, chunk_bytes: int = DEFAULT_CHUNK_BYTES) -> int:
+    """Fast first-pass read count (newlines/4), the role of count_read
+    (reference gzfastq_sample.c:214-225)."""
+    stream = open_input(path)
+    n_nl = 0
+    last = b""
+    try:
+        while True:
+            data = stream.read(chunk_bytes)
+            if not data:
+                break
+            n_nl += data.count(b"\n")
+            last = data[-1:]
+    finally:
+        stream.close()
+    if last and last != b"\n":
+        n_nl += 1
+    return n_nl // 4
+
+
 def format_fastq(names: np.ndarray, name_starts: np.ndarray, name_lens: np.ndarray,
                  seq: np.ndarray, qual: np.ndarray, lens: np.ndarray,
                  qual_lens: np.ndarray | None = None,

@@ -46,6 +46,36 @@ def random_fastq(n_reads: int, read_len: int = 100, seed: int = 0,
     return out.getvalue()
 
 
+def random_fastq_fast(n_reads: int, read_len: int = 100, seed: int = 0,
+                      name_prefix: str = "read") -> bytes:
+    """Fully vectorized fixed-length FASTQ generator (for benchmarks)."""
+    rng = np.random.default_rng(seed)
+    seqs = BASES[rng.integers(0, 4, (n_reads, read_len))]
+    quals = rng.integers(33, 75, (n_reads, read_len), dtype=np.uint8)
+    names = np.array([f"@{name_prefix}_{i}".encode() for i in range(n_reads)],
+                     dtype=object)
+    name_lens = np.array([len(n) for n in names], dtype=np.int64)
+    rec_lens = name_lens + 1 + read_len + 3 + read_len + 1
+    rec_starts = np.zeros(n_reads, dtype=np.int64)
+    np.cumsum(rec_lens[:-1], out=rec_starts[1:])
+    total = int(rec_lens.sum())
+    out = np.empty(total, dtype=np.uint8)
+    from ..io.ragged import ragged_arange
+    ndest = np.repeat(rec_starts, name_lens) + ragged_arange(name_lens)
+    out[ndest] = np.frombuffer(b"".join(names), dtype=np.uint8)
+    col = np.arange(read_len, dtype=np.int64)
+    sstart = rec_starts + name_lens + 1
+    out[(sstart[:, None] + col[None, :]).ravel()] = seqs.ravel()
+    out[(sstart + read_len + 3)[:, None].repeat(read_len, 1).ravel()
+        + np.tile(col, n_reads)] = quals.ravel()
+    out[rec_starts + name_lens] = 0x0A
+    out[sstart + read_len] = 0x0A
+    out[sstart + read_len + 1] = ord("+")
+    out[sstart + read_len + 2] = 0x0A
+    out[rec_starts + rec_lens - 1] = 0x0A
+    return out.tobytes()
+
+
 def random_fastq_pair(n_reads: int, read_len: int = 100, seed: int = 0,
                       **kw) -> tuple[bytes, bytes]:
     r1 = random_fastq(n_reads, read_len, seed, name_prefix="pair", **kw)
