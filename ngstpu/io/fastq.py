@@ -71,9 +71,18 @@ class FastqBatch:
             names=self.names[src], name_starts=nstart_new, name_lens=nl)
 
 
-def _parse_chunk(data: np.ndarray, keep_plus: bool, pad_to: int) -> FastqBatch:
-    """Parse a byte array holding a whole number of 4-line FASTQ records."""
-    nl = np.flatnonzero(data == 0x0A)
+def _parse_chunk(data: np.ndarray, keep_plus: bool, pad_to: int,
+                 need: frozenset = frozenset(("seq", "qual", "names"))
+                 ) -> FastqBatch:
+    """Parse a byte array holding a whole number of 4-line FASTQ records.
+
+    `need` controls which padded fields are materialized — e.g. fastq_count
+    only touches qualities, so skipping seq/name extraction halves the
+    host-side work.
+    """
+    from .native import find_newlines
+
+    nl = find_newlines(data)
     if len(nl) % 4:
         raise ValueError(f"FASTQ chunk has {len(nl)} lines (not a multiple of 4)")
     starts = np.empty(len(nl), dtype=np.int64)
@@ -88,17 +97,26 @@ def _parse_chunk(data: np.ndarray, keep_plus: bool, pad_to: int) -> FastqBatch:
     qual_starts = starts[3::4]
     qual_lens = line_lens[3::4].astype(np.int32)
 
+    from .native import concat_ragged, fill_padded
+
     lmax = max(int(seq_lens.max()) if b else 0, int(qual_lens.max()) if b else 0)
     lmax = max(round_up(max(lmax, 1), pad_to), pad_to)
-    seq = gather_padded(data, seq_starts, seq_lens, lmax)
-    qual = gather_padded(data, qual_starts, qual_lens, lmax)
+    empty = np.zeros((b, 0), dtype=np.uint8)
+    seq = (fill_padded(data, seq_starts, seq_lens, lmax)
+           if "seq" in need else empty)
+    qual = (fill_padded(data, qual_starts, qual_lens, lmax)
+            if "qual" in need else empty)
 
-    # Names: compact blob (drop seq/qual bytes so batches can be retained).
-    nsrc = np.repeat(name_starts, name_lens.astype(np.int64)) + ragged_arange(name_lens)
-    names = data[nsrc]
-    new_name_starts = np.zeros(b, dtype=np.int64)
-    if b:
-        np.cumsum(name_lens[:-1].astype(np.int64), out=new_name_starts[1:])
+    if "names" in need:
+        # Names: compact blob (drop seq/qual bytes so batches can be retained).
+        names = concat_ragged(data, name_starts, name_lens)
+        new_name_starts = np.zeros(b, dtype=np.int64)
+        if b:
+            np.cumsum(name_lens[:-1].astype(np.int64), out=new_name_starts[1:])
+    else:
+        names = np.zeros(0, dtype=np.uint8)
+        new_name_starts = np.zeros(b, dtype=np.int64)
+        name_lens = np.zeros(b, dtype=np.int32)
 
     batch = FastqBatch(seq=seq, qual=qual, lens=seq_lens, names=names,
                        name_starts=new_name_starts, name_lens=name_lens)
@@ -117,11 +135,13 @@ class FastqChunkReader:
     """Stream a FASTQ file (plain or gzip, '-'=stdin) as padded batches."""
 
     def __init__(self, path: str | None, chunk_bytes: int = DEFAULT_CHUNK_BYTES,
-                 keep_plus: bool = False, pad_to: int = 128):
+                 keep_plus: bool = False, pad_to: int = 128,
+                 need: tuple[str, ...] = ("seq", "qual", "names")):
         self.path = path
         self.chunk_bytes = chunk_bytes
         self.keep_plus = keep_plus
         self.pad_to = pad_to
+        self.need = frozenset(need)
 
     def __iter__(self) -> Iterator[FastqBatch]:
         stream = open_input(self.path)
@@ -134,26 +154,32 @@ class FastqChunkReader:
                         if not tail.endswith(b"\n"):
                             tail += b"\n"  # tolerate missing final newline
                         yield _parse_chunk(np.frombuffer(tail, dtype=np.uint8),
-                                           self.keep_plus, self.pad_to)
+                                           self.keep_plus, self.pad_to, self.need)
                     return
                 buf = tail + data if tail else data
                 cut = _record_boundary(buf)
                 tail = buf[cut:]
                 if cut:
                     yield _parse_chunk(np.frombuffer(buf[:cut], dtype=np.uint8),
-                                       self.keep_plus, self.pad_to)
+                                       self.keep_plus, self.pad_to, self.need)
         finally:
             stream.close()
 
 
 def _record_boundary(buf: bytes) -> int:
-    """Largest offset that ends a whole number of 4-line records."""
-    arr = np.frombuffer(buf, dtype=np.uint8)
-    nl = np.flatnonzero(arr == 0x0A)
-    n_full = (len(nl) // 4) * 4
+    """Largest offset that ends a whole number of 4-line records.
+
+    O(1) memory: count newlines with bytes.count, then walk back over the
+    0..3 trailing partial lines with rfind.
+    """
+    n_nl = buf.count(b"\n")
+    n_full = (n_nl // 4) * 4
     if n_full == 0:
         return 0
-    return int(nl[n_full - 1]) + 1
+    pos = len(buf)
+    for _ in range(n_nl - n_full + 1):
+        pos = buf.rfind(b"\n", 0, pos)
+    return pos + 1
 
 
 def read_fastq_batches(path: str | None, **kw) -> Iterator[FastqBatch]:
@@ -190,7 +216,49 @@ def format_fastq(names: np.ndarray, name_starts: np.ndarray, name_lens: np.ndarr
     (e.g. reference fastq_trim.c:101, gzfastq_sample.c:33). `count_suffix`
     optionally appends per-record ascii suffix bytes to the name line
     (reference gzfastq_sample.c renames reads `name_i`).
+
+    Uses the native parallel assembler when available.
     """
+    from . import native as _native
+
+    lib = _native.get_lib()
+    if lib is not None and seq.ndim == 2 and qual.ndim == 2 \
+            and seq.shape[1] == qual.shape[1] and len(lens):
+        import ctypes
+
+        b = len(lens)
+        lens32 = np.ascontiguousarray(lens, np.int32)
+        qlens32 = (lens32 if qual_lens is None
+                   else np.ascontiguousarray(qual_lens, np.int32))
+        nlens32 = np.ascontiguousarray(name_lens, np.int32)
+        nstarts = np.ascontiguousarray(name_starts, np.int64)
+        if count_suffix is not None:
+            suf_blob = np.frombuffer(b"".join(count_suffix), dtype=np.uint8)
+            suf_lens = np.array([len(s) for s in count_suffix], dtype=np.int32)
+            suf_starts = np.zeros(b, dtype=np.int64)
+            np.cumsum(suf_lens[:-1].astype(np.int64), out=suf_starts[1:])
+        else:
+            suf_blob = suf_lens = suf_starts = None
+        rec_lens = (nlens32.astype(np.int64)
+                    + (suf_lens.astype(np.int64) if suf_lens is not None else 0)
+                    + 1 + lens32.astype(np.int64) + 3
+                    + qlens32.astype(np.int64) + 1)
+        out_starts = np.zeros(b, dtype=np.int64)
+        np.cumsum(rec_lens[:-1], out=out_starts[1:])
+        out = np.empty(int(rec_lens.sum()), dtype=np.uint8)
+
+        def vp(a):
+            return (a.ctypes.data_as(ctypes.c_void_p) if a is not None
+                    else ctypes.c_void_p(0))
+
+        lib.ngs_format_fastq(
+            np.ascontiguousarray(names), nstarts, nlens32,
+            vp(suf_blob), vp(suf_starts), vp(suf_lens),
+            np.ascontiguousarray(seq), np.ascontiguousarray(qual), lens32,
+            vp(qlens32 if qual_lens is not None else None),
+            b, seq.shape[1], out_starts, out, 0)
+        return out.tobytes()
+
     from .ragged import scatter_fields
 
     b = len(lens)

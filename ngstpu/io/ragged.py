@@ -29,19 +29,27 @@ def ragged_arange(lens: np.ndarray) -> np.ndarray:
 
 def gather_padded(data: np.ndarray, starts: np.ndarray, lens: np.ndarray,
                   lmax: int, pad_value: int = 0) -> np.ndarray:
-    """Gather ragged rows data[starts[i]:starts[i]+lens[i]] into [B, lmax] u8."""
+    """Gather ragged rows data[starts[i]:starts[i]+lens[i]] into [B, lmax] u8.
+
+    Rows may read up to lmax bytes past their start (into the following
+    record's bytes); padding is then zeroed with a single masked multiply.
+    `data` is extended by lmax sentinel bytes so no clip pass is needed.
+    """
     B = len(starts)
     if B == 0:
         return np.zeros((0, lmax), dtype=np.uint8)
-    col = np.arange(lmax, dtype=np.int64)
-    idx = starts.astype(np.int64)[:, None] + col[None, :]
-    mask = col[None, :] < lens.astype(np.int64)[:, None]
-    np.clip(idx, 0, len(data) - 1, out=idx)
-    out = data[idx]
+    ext = np.empty(len(data) + lmax, dtype=np.uint8)
+    ext[:len(data)] = data
+    ext[len(data):] = 0
+    col = np.arange(lmax, dtype=np.int32)
+    idx = starts.astype(np.int32)[:, None] + col[None, :]
+    out = ext[idx]
+    # zero padding lanes: out *= (col < len) as uint8 mask
+    mask = (col[None, :] < lens.astype(np.int32)[:, None])
     if pad_value == 0:
-        out &= np.where(mask, np.uint8(0xFF), np.uint8(0))
+        out *= mask
     else:
-        out = np.where(mask, out, np.uint8(pad_value))
+        np.putmask(out, ~mask, np.uint8(pad_value))
     return out
 
 

@@ -33,6 +33,9 @@ def open_input(name: str | None) -> BinaryIO:
     if head == b"\x1f\x8b":
         merged = _PushbackReader(head, raw)
         return gzip.GzipFile(fileobj=merged, mode="rb")  # type: ignore[return-value]
+    if raw.seekable():
+        raw.seek(0)  # plain file: hand back the raw stream, no wrapper
+        return raw
     return _PushbackReader(head, raw)
 
 

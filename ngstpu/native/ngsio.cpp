@@ -1,0 +1,280 @@
+// ngsio — native host-side I/O runtime for ngstpu.
+//
+// Plays the role the reference delegates to klib kseq + zlib gzgets loops
+// (reference klib/kseq.h:143-226, fastq_trim.c:67-89) and the kt_for thread
+// pool (reference klib/kthread.c:48-60): high-throughput byte scanning and
+// padded-tensor assembly on the host, feeding fixed-shape device buffers.
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in this image).
+// All functions are thread-parallel internally where it pays.
+//
+// Build: ngstpu/io/native.py compiles this on first import with g++ -O3.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <algorithm>
+#include <atomic>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+int hw_threads() {
+    unsigned n = std::thread::hardware_concurrency();
+    return n ? static_cast<int>(n) : 4;
+}
+
+template <typename F>
+void parallel_ranges(int64_t n, int nthreads, F&& fn) {
+    if (n <= 0) return;
+    nthreads = static_cast<int>(std::max<int64_t>(1, std::min<int64_t>(nthreads, n)));
+    if (nthreads == 1) {
+        fn(0, n, 0);
+        return;
+    }
+    std::vector<std::thread> ts;
+    ts.reserve(nthreads);
+    int64_t chunk = (n + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; ++t) {
+        int64_t lo = t * chunk;
+        int64_t hi = std::min(n, lo + chunk);
+        if (lo >= hi) break;
+        ts.emplace_back([&fn, lo, hi, t] { fn(lo, hi, t); });
+    }
+    for (auto& t : ts) t.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+int ngs_version() { return 10300; }
+
+// ---------------------------------------------------------------------------
+// Newline scanning
+// ---------------------------------------------------------------------------
+
+// Count '\n' bytes in buf[0..n). Parallel memchr sweep.
+int64_t ngs_count_newlines(const uint8_t* buf, int64_t n, int nthreads) {
+    if (nthreads <= 0) nthreads = hw_threads();
+    std::vector<int64_t> counts(nthreads, 0);
+    parallel_ranges(n, nthreads, [&](int64_t lo, int64_t hi, int t) {
+        const uint8_t* p = buf + lo;
+        const uint8_t* end = buf + hi;
+        int64_t c = 0;
+        while ((p = static_cast<const uint8_t*>(
+                    memchr(p, '\n', end - p))) != nullptr) {
+            ++c;
+            ++p;
+        }
+        counts[t] = c;
+    });
+    int64_t total = 0;
+    for (auto c : counts) total += c;
+    return total;
+}
+
+// Write the offsets of every '\n' in buf[0..n) to out (caller-sized via
+// ngs_count_newlines). Returns the count. Parallel: per-thread counts then
+// per-thread fills at exclusive-prefix offsets.
+int64_t ngs_find_newlines(const uint8_t* buf, int64_t n, int64_t* out,
+                          int nthreads) {
+    if (nthreads <= 0) nthreads = hw_threads();
+    nthreads = static_cast<int>(std::max<int64_t>(
+        1, std::min<int64_t>(nthreads, (n + (1 << 20) - 1) >> 20)));
+    std::vector<int64_t> counts(nthreads + 1, 0);
+    int64_t chunk = (n + nthreads - 1) / nthreads;
+    parallel_ranges(n, nthreads, [&](int64_t lo, int64_t hi, int t) {
+        const uint8_t* p = buf + lo;
+        const uint8_t* end = buf + hi;
+        int64_t c = 0;
+        while ((p = static_cast<const uint8_t*>(
+                    memchr(p, '\n', end - p))) != nullptr) {
+            ++c;
+            ++p;
+        }
+        counts[t + 1] = c;
+    });
+    for (int t = 0; t < nthreads; ++t) counts[t + 1] += counts[t];
+    parallel_ranges(n, nthreads, [&](int64_t lo, int64_t hi, int t) {
+        const uint8_t* p = buf + lo;
+        const uint8_t* end = buf + hi;
+        int64_t* o = out + counts[t];
+        while ((p = static_cast<const uint8_t*>(
+                    memchr(p, '\n', end - p))) != nullptr) {
+            *o++ = p - buf;
+            ++p;
+        }
+    });
+    return counts[nthreads];
+}
+
+// ---------------------------------------------------------------------------
+// Padded-tensor assembly (the gather_padded hot path)
+// ---------------------------------------------------------------------------
+
+// For each row i: out[i*lmax .. ) = buf[starts[i] .. starts[i]+lens[i]),
+// zero-padded to lmax. memcpy+memset per row, parallel over rows.
+void ngs_fill_padded(const uint8_t* buf, const int64_t* starts,
+                     const int32_t* lens, int64_t b, int64_t lmax,
+                     uint8_t* out, int nthreads) {
+    if (nthreads <= 0) nthreads = hw_threads();
+    parallel_ranges(b, nthreads, [&](int64_t lo, int64_t hi, int) {
+        for (int64_t i = lo; i < hi; ++i) {
+            int64_t len = lens[i];
+            if (len > lmax) len = lmax;
+            if (len < 0) len = 0;
+            uint8_t* dst = out + i * lmax;
+            memcpy(dst, buf + starts[i], len);
+            memset(dst + len, 0, lmax - len);
+        }
+    });
+}
+
+// Concatenate ragged rows buf[starts[i] .. +lens[i]) at out_starts[i]
+// (exclusive cumsum precomputed by the caller). Parallel over rows.
+void ngs_concat_ragged(const uint8_t* buf, const int64_t* starts,
+                       const int32_t* lens, const int64_t* out_starts,
+                       int64_t b, uint8_t* out, int nthreads) {
+    if (nthreads <= 0) nthreads = hw_threads();
+    parallel_ranges(b, nthreads, [&](int64_t lo, int64_t hi, int) {
+        for (int64_t i = lo; i < hi; ++i) {
+            memcpy(out + out_starts[i], buf + starts[i], lens[i]);
+        }
+    });
+}
+
+// Inverse: scatter padded rows back into a ragged buffer with per-row
+// trailing extras (used by the FASTQ writer).
+void ngs_scatter_rows(const uint8_t* padded, const int32_t* lens,
+                      int64_t b, int64_t lmax, const int64_t* out_starts,
+                      uint8_t* out, int nthreads) {
+    if (nthreads <= 0) nthreads = hw_threads();
+    parallel_ranges(b, nthreads, [&](int64_t lo, int64_t hi, int) {
+        for (int64_t i = lo; i < hi; ++i) {
+            memcpy(out + out_starts[i], padded + i * lmax, lens[i]);
+        }
+    });
+}
+
+// ---------------------------------------------------------------------------
+// FASTQ record assembly (writer): name[+suffix]\nseq\n+\nqual\n per record.
+// starts/lens address the ragged name blob; seq/qual are padded matrices.
+// out_starts = precomputed record offsets. Parallel over records.
+// ---------------------------------------------------------------------------
+void ngs_format_fastq(const uint8_t* names, const int64_t* name_starts,
+                      const int32_t* name_lens, const uint8_t* suffixes,
+                      const int64_t* suffix_starts, const int32_t* suffix_lens,
+                      const uint8_t* seq, const uint8_t* qual,
+                      const int32_t* lens, const int32_t* qual_lens,
+                      int64_t b, int64_t lmax, const int64_t* out_starts,
+                      uint8_t* out, int nthreads) {
+    if (nthreads <= 0) nthreads = hw_threads();
+    parallel_ranges(b, nthreads, [&](int64_t lo, int64_t hi, int) {
+        for (int64_t i = lo; i < hi; ++i) {
+            uint8_t* o = out + out_starts[i];
+            int32_t nl = name_lens[i];
+            memcpy(o, names + name_starts[i], nl);
+            o += nl;
+            if (suffixes) {
+                memcpy(o, suffixes + suffix_starts[i], suffix_lens[i]);
+                o += suffix_lens[i];
+            }
+            *o++ = '\n';
+            int32_t sl = lens[i];
+            memcpy(o, seq + i * lmax, sl);
+            o += sl;
+            *o++ = '\n';
+            *o++ = '+';
+            *o++ = '\n';
+            int32_t ql = qual_lens ? qual_lens[i] : sl;
+            memcpy(o, qual + i * lmax, ql);
+            o += ql;
+            *o++ = '\n';
+        }
+    });
+}
+
+// ---------------------------------------------------------------------------
+// Parallel gzip (multi-stream) compression: compress n_blocks independent
+// gzip members concurrently; concatenated members form a valid gzip file.
+// Caller provides per-block bounds; returns per-block compressed sizes.
+// ---------------------------------------------------------------------------
+int ngs_gzip_compress_blocks(const uint8_t* data, const int64_t* block_starts,
+                             const int64_t* block_lens, int64_t n_blocks,
+                             uint8_t* out, const int64_t* out_caps,
+                             const int64_t* out_offsets, int64_t* out_sizes,
+                             int level, int nthreads) {
+    if (nthreads <= 0) nthreads = hw_threads();
+    std::atomic<int> err{0};
+    parallel_ranges(n_blocks, nthreads, [&](int64_t lo, int64_t hi, int) {
+        for (int64_t i = lo; i < hi; ++i) {
+            z_stream zs;
+            memset(&zs, 0, sizeof(zs));
+            if (deflateInit2(&zs, level, Z_DEFLATED, 16 + 15, 8,
+                             Z_DEFAULT_STRATEGY) != Z_OK) {
+                err.store(1);
+                return;
+            }
+            zs.next_in = const_cast<uint8_t*>(data + block_starts[i]);
+            zs.avail_in = static_cast<uInt>(block_lens[i]);
+            zs.next_out = out + out_offsets[i];
+            zs.avail_out = static_cast<uInt>(out_caps[i]);
+            int r = deflate(&zs, Z_FINISH);
+            if (r != Z_STREAM_END) err.store(2);
+            out_sizes[i] = static_cast<int64_t>(zs.total_out);
+            deflateEnd(&zs);
+        }
+    });
+    return err.load();
+}
+
+// Parallel gzip decompression of independent members (BGZF-style usage):
+// each block [start, start+len) must be a complete gzip member sequence.
+int ngs_gzip_decompress_blocks(const uint8_t* data, const int64_t* block_starts,
+                               const int64_t* block_lens, int64_t n_blocks,
+                               uint8_t* out, const int64_t* out_offsets,
+                               const int64_t* out_caps, int64_t* out_sizes,
+                               int nthreads) {
+    if (nthreads <= 0) nthreads = hw_threads();
+    std::atomic<int> err{0};
+    parallel_ranges(n_blocks, nthreads, [&](int64_t lo, int64_t hi, int) {
+        for (int64_t i = lo; i < hi; ++i) {
+            z_stream zs;
+            memset(&zs, 0, sizeof(zs));
+            if (inflateInit2(&zs, 16 + 15) != Z_OK) {
+                err.store(1);
+                return;
+            }
+            zs.next_in = const_cast<uint8_t*>(data + block_starts[i]);
+            zs.avail_in = static_cast<uInt>(block_lens[i]);
+            int64_t produced = 0;
+            int r = Z_OK;
+            while (true) {
+                zs.next_out = out + out_offsets[i] + produced;
+                zs.avail_out = static_cast<uInt>(out_caps[i] - produced);
+                r = inflate(&zs, Z_NO_FLUSH);
+                produced = static_cast<int64_t>(zs.total_out);
+                if (r == Z_STREAM_END) {
+                    if (zs.avail_in == 0) break;
+                    // concatenated member: reset and continue
+                    if (inflateReset2(&zs, 16 + 15) != Z_OK) { r = Z_DATA_ERROR; break; }
+                } else if (r != Z_OK) {
+                    break;
+                } else if (zs.avail_out == 0 && produced >= out_caps[i]) {
+                    r = Z_BUF_ERROR;
+                    break;
+                }
+            }
+            if (r != Z_STREAM_END) err.store(2);
+            out_sizes[i] = produced;
+            inflateEnd(&zs);
+        }
+    });
+    return err.load();
+}
+
+}  // extern "C"

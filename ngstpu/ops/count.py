@@ -5,16 +5,19 @@ Reimplements the hot loop of the reference `fastq_count` family
 fastq_count_kthread.c:126-147) as a TPU reduction: instead of scalar
 `Quality[q][cycle]++` increments, each batch computes a fused
 compare-and-reduce over [B, L, NQ] (XLA fuses the one-hot compare into the
-sum, so nothing is materialized) yielding the [cycle, qual] count matrix on
-the MXU/VPU. Host code accumulates per-batch int32 partials into an int64
-[128, 512] matrix matching the C layout.
+sum, so nothing is materialized) yielding the [cycle, qual] count matrix.
+The length histogram is the same compare-reduce over 512 bins — no scatter
+anywhere (TPU scatters serialize).
+
+Accumulation stays ON DEVICE across batches (donated buffers), so the host
+sees exactly one small [128, 512] transfer per file instead of one blocking
+round-trip per chunk; device dispatch overlaps the host-side parse of the
+next chunk.
 
 Parity notes (SURVEY.md §7 quirks register):
-- Q20/Q30 thresholds are raw ASCII >=53 / >=63 (Phred+33 20/30)
-  per reference fastq_count.c:124.
-- Histogram capacity is 128 quality values x 512 cycles, length histogram
-  512 bins (reference fastq_count.c:110-111); longer reads are undefined
-  behavior in the C code — we clip.
+- Q20/Q30 thresholds are raw ASCII >=53 / >=63 (reference fastq_count.c:124).
+- 128 quality rows x 512 cycles, 512 length bins (fastq_count.c:110-111);
+  longer reads are UB in C — we clip.
 """
 
 from __future__ import annotations
@@ -34,51 +37,78 @@ Q30_ASCII = 63
 @functools.partial(jax.jit, static_argnames=("n_qual", "n_len"))
 def qc_histograms(qual: jax.Array, lens: jax.Array, n_valid: jax.Array,
                   n_qual: int = N_QUAL, n_len: int = N_CYCLE):
-    """Per-batch QC histograms.
+    """Per-batch QC histograms (scatter-free).
 
-    qual: uint8 [B, L]; lens: int32 [B]; n_valid: scalar int32 (rows < n_valid
-    are real records, the rest are shape padding).
-
+    qual: uint8 [B, L]; lens: int32 [B]; n_valid: scalar int32.
     Returns (cycle_hist int32 [L, n_qual], len_hist int32 [n_len]).
-    cycle_hist[c, q] = number of reads whose quality byte at cycle c equals q.
     """
     B, L = qual.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
-    rowmask = row < n_valid                       # [B, 1]
-    mask = (col < lens[:, None]) & rowmask        # [B, L]
+    rowmask = row < n_valid
+    mask = (col < lens[:, None]) & rowmask
 
     qvals = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_qual), 2)
     onehot = (qual.astype(jnp.int32)[:, :, None] == qvals) & mask[:, :, None]
-    cycle_hist = jnp.sum(onehot, axis=0, dtype=jnp.int32)  # [L, n_qual]
+    cycle_hist = jnp.sum(onehot, axis=0, dtype=jnp.int32)
 
-    len_clip = jnp.clip(lens, 0, n_len - 1)
-    len_hist = jnp.zeros((n_len,), jnp.int32).at[len_clip].add(
-        rowmask[:, 0].astype(jnp.int32))
+    lvals = jax.lax.broadcasted_iota(jnp.int32, (1, n_len), 1)
+    lens_clip = jnp.clip(lens, 0, n_len - 1)
+    len_onehot = (lens_clip[:, None] == lvals) & rowmask
+    len_hist = jnp.sum(len_onehot, axis=0, dtype=jnp.int32)
     return cycle_hist, len_hist
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("n_qual", "n_len"))
+def _accumulate(total_q: jax.Array, total_len: jax.Array, qual: jax.Array,
+                lens: jax.Array, n_valid: jax.Array,
+                n_qual: int = N_QUAL, n_len: int = N_CYCLE):
+    ch, lh = qc_histograms(qual, lens, n_valid, n_qual, n_len)
+    L = ch.shape[0]
+    ncols = min(L, n_len)
+    total_q = total_q.at[:ncols, :].add(ch[:ncols, :])
+    return total_q, total_len + lh
 
 
 class QCAccumulator:
     """Accumulates device batch histograms into the C-layout totals."""
 
     def __init__(self):
-        self.quality = np.zeros((N_QUAL, N_CYCLE), dtype=np.int64)  # [qual, cycle]
-        self.seq_len = np.zeros(N_CYCLE, dtype=np.int64)
+        self._dev_q = jnp.zeros((N_CYCLE, N_QUAL), jnp.int32)  # [cycle, qual]
+        self._dev_len = jnp.zeros((N_CYCLE,), jnp.int32)
+        self._host_q: np.ndarray | None = None
+        self._host_len: np.ndarray | None = None
 
     def add_batch(self, qual: np.ndarray, lens: np.ndarray,
                   n_valid: int | None = None) -> None:
         if n_valid is None:
             n_valid = qual.shape[0]
-        ch, lh = qc_histograms(jnp.asarray(qual), jnp.asarray(lens),
-                               jnp.int32(n_valid))
-        ch = np.asarray(ch)  # [L, 128]
-        ncols = min(ch.shape[0], N_CYCLE)
-        self.quality[:, :ncols] += ch[:ncols, :].T
-        self.seq_len += np.asarray(lh)
+        self._host_q = None
+        self._dev_q, self._dev_len = _accumulate(
+            self._dev_q, self._dev_len, jnp.asarray(qual), jnp.asarray(lens),
+            jnp.int32(n_valid))
+
+    def _materialize(self) -> None:
+        if self._host_q is None:
+            self._host_q = np.asarray(self._dev_q).T.astype(np.int64)  # [qual, cycle]
+            self._host_len = np.asarray(self._dev_len).astype(np.int64)
+
+    @property
+    def quality(self) -> np.ndarray:
+        self._materialize()
+        return self._host_q
+
+    @property
+    def seq_len(self) -> np.ndarray:
+        self._materialize()
+        return self._host_len
 
     def merge(self, other: "QCAccumulator") -> None:
-        self.quality += other.quality
-        self.seq_len += other.seq_len
+        self._materialize()
+        other._materialize()
+        self._host_q = self._host_q + other._host_q
+        self._host_len = self._host_len + other._host_len
 
     def stats(self) -> dict:
         """Reproduces statSeqLen + statQ (reference fastq_count.c:37-74)."""

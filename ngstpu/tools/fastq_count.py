@@ -24,7 +24,7 @@ from ..utils.timing import StageTimer
 
 def count_file(path: str) -> QCAccumulator:
     acc = QCAccumulator()
-    for batch in FastqChunkReader(path):
+    for batch in FastqChunkReader(path, need=("qual",)):
         b = bucket_rows(batch.n)
         acc.add_batch(pad_rows(batch.qual, b), pad_rows(batch.lens, b), batch.n)
     return acc
