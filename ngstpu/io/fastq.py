@@ -186,6 +186,42 @@ def read_fastq_batches(path: str | None, **kw) -> Iterator[FastqBatch]:
     return iter(FastqChunkReader(path, **kw))
 
 
+def concat_batches(batches: list[FastqBatch]) -> FastqBatch:
+    """Concatenate chunk batches into one whole-file batch (global Lmax)."""
+    if len(batches) == 1:
+        return batches[0]
+    if not batches:
+        return FastqBatch(seq=np.zeros((0, 128), np.uint8),
+                          qual=np.zeros((0, 128), np.uint8),
+                          lens=np.zeros(0, np.int32),
+                          names=np.zeros(0, np.uint8),
+                          name_starts=np.zeros(0, np.int64),
+                          name_lens=np.zeros(0, np.int32))
+    lmax = max(b.lmax for b in batches)
+
+    def padw(m):
+        return m if m.shape[1] == lmax else np.pad(m, ((0, 0), (0, lmax - m.shape[1])))
+
+    seq = np.concatenate([padw(b.seq) for b in batches]) \
+        if batches[0].seq.shape[1] else batches[0].seq
+    qual = np.concatenate([padw(b.qual) for b in batches]) \
+        if batches[0].qual.shape[1] else batches[0].qual
+    lens = np.concatenate([b.lens for b in batches])
+    names = np.concatenate([b.names for b in batches])
+    name_lens = np.concatenate([b.name_lens for b in batches])
+    name_starts = np.zeros(len(lens), dtype=np.int64)
+    if len(lens):
+        np.cumsum(name_lens[:-1].astype(np.int64), out=name_starts[1:])
+    return FastqBatch(seq=seq, qual=qual, lens=lens, names=names,
+                      name_starts=name_starts, name_lens=name_lens)
+
+
+def read_fastq_file(path: str | None, **kw) -> FastqBatch:
+    """Whole-file load as one padded batch (the load_file pattern of
+    gzfastq_sort.c:105-141)."""
+    return concat_batches(list(FastqChunkReader(path, **kw)))
+
+
 def count_reads(path: str | None, chunk_bytes: int = DEFAULT_CHUNK_BYTES) -> int:
     """Fast first-pass read count (newlines/4), the role of count_read
     (reference gzfastq_sample.c:214-225)."""

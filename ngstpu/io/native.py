@@ -72,6 +72,8 @@ def get_lib() -> ctypes.CDLL | None:
                                           _p_u8, _int]
         lib.ngs_scatter_rows.argtypes = [_p_u8, _p_i32, _i64, _i64, _p_i64,
                                          _p_u8, _int]
+        lib.ngs_concat_pairs.argtypes = [_p_u8, _p_i32, _i64, _p_u8, _p_i32,
+                                         _i64, _i64, _i64, _p_u8, _int]
         lib.ngs_format_fastq.argtypes = [
             _p_u8, _p_i64, _p_i32,              # names
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # suffixes
@@ -117,6 +119,28 @@ def fill_padded(data: np.ndarray, starts: np.ndarray, lens: np.ndarray,
         lib.ngs_fill_padded(data, np.ascontiguousarray(starts, np.int64),
                             np.ascontiguousarray(lens, np.int32),
                             b, lmax, out, 0)
+    return out
+
+
+def concat_pairs(a: np.ndarray, la: np.ndarray, b: np.ndarray,
+                 lb: np.ndarray, lmax_out: int) -> np.ndarray:
+    """Row-wise out[i] = a[i][:la[i]] ++ b[i][:lb[i]], zero-padded."""
+    lib = get_lib()
+    n = len(la)
+    if lib is None:
+        out = np.zeros((n, lmax_out), dtype=np.uint8)
+        for i in range(n):  # fallback only
+            l1, l2 = int(la[i]), int(lb[i])
+            out[i, :l1] = a[i, :l1]
+            out[i, l1:l1 + l2] = b[i, :l2]
+        return out
+    out = np.empty((n, lmax_out), dtype=np.uint8)
+    if n:
+        lib.ngs_concat_pairs(np.ascontiguousarray(a),
+                             np.ascontiguousarray(la, np.int32), a.shape[1],
+                             np.ascontiguousarray(b),
+                             np.ascontiguousarray(lb, np.int32), b.shape[1],
+                             n, lmax_out, out, 0)
     return out
 
 

@@ -160,6 +160,25 @@ void ngs_scatter_rows(const uint8_t* padded, const int32_t* lens,
     });
 }
 
+// Row-wise ragged concatenation of two padded matrices:
+// out[i] = a[i][:la[i]] ++ b[i][:lb[i]], zero-padded to lmax_out.
+// (The PE dedup key of gzfastq_uniq.c:212-213 is seq1++seq2 at true lengths.)
+void ngs_concat_pairs(const uint8_t* a, const int32_t* la, int64_t lmax_a,
+                      const uint8_t* b, const int32_t* lb, int64_t lmax_b,
+                      int64_t n, int64_t lmax_out, uint8_t* out,
+                      int nthreads) {
+    if (nthreads <= 0) nthreads = hw_threads();
+    parallel_ranges(n, nthreads, [&](int64_t lo, int64_t hi, int) {
+        for (int64_t i = lo; i < hi; ++i) {
+            uint8_t* dst = out + i * lmax_out;
+            int64_t l1 = la[i], l2 = lb[i];
+            memcpy(dst, a + i * lmax_a, l1);
+            memcpy(dst + l1, b + i * lmax_b, l2);
+            memset(dst + l1 + l2, 0, lmax_out - l1 - l2);
+        }
+    });
+}
+
 // ---------------------------------------------------------------------------
 // FASTQ record assembly (writer): name[+suffix]\nseq\n+\nqual\n per record.
 // starts/lens address the ragged name blob; seq/qual are padded matrices.

