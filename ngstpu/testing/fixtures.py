@@ -20,7 +20,8 @@ def random_fastq(n_reads: int, read_len: int = 100, seed: int = 0,
                  var_len: bool = False, min_len: int = 30,
                  with_n: bool = False, name_prefix: str = "read",
                  with_comment: bool = False, dup_frac: float = 0.0,
-                 qual_lo: int = 33, qual_hi: int = 74) -> bytes:
+                 qual_lo: int = 33, qual_hi: int = 74,
+                 qual_alphabet: bytes | None = None) -> bytes:
     """Generate FASTQ text. dup_frac makes that fraction of reads copies of
     earlier reads (for dedup tests)."""
     rng = np.random.default_rng(seed)
@@ -38,7 +39,11 @@ def random_fastq(n_reads: int, read_len: int = 100, seed: int = 0,
         else:
             seq = alphabet[rng.integers(0, len(alphabet), li)].tobytes()
         seqs.append(seq)
-        qual = rng.integers(qual_lo, qual_hi + 1, li, dtype=np.uint8).tobytes()
+        if qual_alphabet is not None:
+            qa = np.frombuffer(qual_alphabet, dtype=np.uint8)
+            qual = qa[rng.integers(0, len(qa), li)].tobytes()
+        else:
+            qual = rng.integers(qual_lo, qual_hi + 1, li, dtype=np.uint8).tobytes()
         name = f"@{name_prefix}_{i}"
         if with_comment:
             name += f" comment/{i % 2 + 1}"
