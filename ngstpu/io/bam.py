@@ -1,0 +1,181 @@
+"""BAM container decode into columnar arrays (+ BAM writing).
+
+Replaces the reference's vendored samtools-0.1.19 record path
+(samopen/samread, sam.h:59-81; bam_fetch iteration) with a two-stage
+host decode: BGZF blocks inflate in parallel (io.bgzf), then the native
+scanner (ngsio.cpp ngs_bam_scan) emits structure-of-arrays — tid, pos,
+flag, l_qseq, GC counts, flattened cigar — which feed the device pileup
+ops directly. Raw per-record byte spans are retained so tools like
+bamSplitChr can re-emit records verbatim.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+
+import numpy as np
+
+from .bgzf import compress_bgzf, read_bgzf
+from .native import get_lib
+
+BAM_MAGIC = b"BAM\x01"
+
+# flag bits (samtools bam.h)
+FUNMAP = 0x4
+FSECONDARY = 0x100
+FQCFAIL = 0x200
+FDUP = 0x400
+DEF_MASK = FUNMAP | FSECONDARY | FQCFAIL | FDUP
+
+CIGAR_OPS = "MIDNSHP=X"
+
+
+@dataclasses.dataclass
+class BamHeader:
+    text: bytes
+    ref_names: list[str]
+    ref_lens: list[int]
+
+    @property
+    def n_refs(self) -> int:
+        return len(self.ref_names)
+
+    def encode(self) -> bytes:
+        out = [BAM_MAGIC, struct.pack("<i", len(self.text)), self.text,
+               struct.pack("<i", self.n_refs)]
+        for name, ln in zip(self.ref_names, self.ref_lens):
+            nb = name.encode() + b"\x00"
+            out.append(struct.pack("<i", len(nb)) + nb + struct.pack("<i", ln))
+        return b"".join(out)
+
+
+@dataclasses.dataclass
+class BamColumns:
+    """Columnar alignment data. All arrays have length n_records."""
+
+    rec_offset: np.ndarray   # int64, offset into `body`
+    rec_len: np.ndarray      # int32
+    tid: np.ndarray          # int32
+    pos: np.ndarray          # int32 (0-based leftmost)
+    flag: np.ndarray         # int32
+    mapq: np.ndarray         # int32
+    l_qseq: np.ndarray       # int32
+    gc: np.ndarray           # int32 (count of C/G 4-bit codes)
+    cigar_offset: np.ndarray  # int64 into flat cigar arrays
+    n_cigar: np.ndarray      # int32
+    cigar_op: np.ndarray     # uint8  [total_ops]
+    cigar_len: np.ndarray    # uint32 [total_ops]
+    body: np.ndarray         # uint8: decompressed alignment section
+
+    @property
+    def n(self) -> int:
+        return len(self.tid)
+
+
+def parse_header(data: bytes) -> tuple[BamHeader, int]:
+    """Parse the BAM header from decompressed bytes; returns (header, body_offset)."""
+    if data[:4] != BAM_MAGIC:
+        raise ValueError("not a BAM file")
+    l_text = struct.unpack_from("<i", data, 4)[0]
+    text = data[8:8 + l_text]
+    o = 8 + l_text
+    n_ref = struct.unpack_from("<i", data, o)[0]
+    o += 4
+    names, lens = [], []
+    for _ in range(n_ref):
+        l_name = struct.unpack_from("<i", data, o)[0]
+        names.append(data[o + 4:o + 4 + l_name - 1].decode())
+        lens.append(struct.unpack_from("<i", data, o + 4 + l_name)[0])
+        o += 8 + l_name
+    return BamHeader(text=text, ref_names=names, ref_lens=lens), o
+
+
+def _scan_python(body: np.ndarray) -> BamColumns:
+    """Pure-python fallback scanner."""
+    data = body.tobytes()
+    n = len(data)
+    offs, lens, tids, poss, flags, mapqs, lseqs, gcs = [], [], [], [], [], [], [], []
+    cig_off, n_cig, ops_all, clens_all = [], [], [], []
+    gc_nibble = np.zeros(16, dtype=np.int32)
+    gc_nibble[2] = gc_nibble[4] = 1
+    o = 0
+    while o + 4 <= n:
+        bs = struct.unpack_from("<I", data, o)[0]
+        if o + 4 + bs > n:
+            break
+        r = o + 4
+        tid, pos = struct.unpack_from("<ii", data, r)
+        l_read_name = data[r + 8]
+        mapq = data[r + 9]
+        nc, flag = struct.unpack_from("<HH", data, r + 12)
+        l_seq = struct.unpack_from("<i", data, r + 16)[0]
+        p = r + 32 + l_read_name
+        cig_off.append(len(ops_all))
+        n_cig.append(nc)
+        for k in range(nc):
+            cg = struct.unpack_from("<I", data, p + 4 * k)[0]
+            ops_all.append(cg & 0xF)
+            clens_all.append(cg >> 4)
+        seq = np.frombuffer(data, np.uint8, (l_seq + 1) // 2, p + 4 * nc)
+        g = int(gc_nibble[seq >> 4].sum() + gc_nibble[seq & 0xF].sum())
+        if l_seq % 2:
+            g -= int(gc_nibble[seq[-1] & 0xF]) if len(seq) else 0
+        offs.append(o)
+        lens.append(4 + bs)
+        tids.append(tid)
+        poss.append(pos)
+        flags.append(flag)
+        mapqs.append(mapq)
+        lseqs.append(l_seq)
+        gcs.append(g)
+        o += 4 + bs
+    return BamColumns(
+        rec_offset=np.array(offs, np.int64), rec_len=np.array(lens, np.int32),
+        tid=np.array(tids, np.int32), pos=np.array(poss, np.int32),
+        flag=np.array(flags, np.int32), mapq=np.array(mapqs, np.int32),
+        l_qseq=np.array(lseqs, np.int32), gc=np.array(gcs, np.int32),
+        cigar_offset=np.array(cig_off, np.int64),
+        n_cigar=np.array(n_cig, np.int32),
+        cigar_op=np.array(ops_all, np.uint8),
+        cigar_len=np.array(clens_all, np.uint32), body=body)
+
+
+def scan_records(body: np.ndarray) -> BamColumns:
+    lib = get_lib()
+    if lib is None:
+        return _scan_python(body)
+    import ctypes
+
+    n_rec = ctypes.c_int64()
+    n_cig = ctypes.c_int64()
+    lib.ngs_bam_count(body, len(body), ctypes.byref(n_rec), ctypes.byref(n_cig))
+    R, C = n_rec.value, n_cig.value
+    cols = BamColumns(
+        rec_offset=np.empty(R, np.int64), rec_len=np.empty(R, np.int32),
+        tid=np.empty(R, np.int32), pos=np.empty(R, np.int32),
+        flag=np.empty(R, np.int32), mapq=np.empty(R, np.int32),
+        l_qseq=np.empty(R, np.int32), gc=np.empty(R, np.int32),
+        cigar_offset=np.empty(R, np.int64), n_cigar=np.empty(R, np.int32),
+        cigar_op=np.empty(C, np.uint8), cigar_len=np.empty(C, np.uint32),
+        body=body)
+    if R:
+        lib.ngs_bam_scan(body, len(body), cols.rec_offset, cols.rec_len,
+                         cols.tid, cols.pos, cols.flag, cols.mapq,
+                         cols.l_qseq, cols.gc, cols.cigar_offset,
+                         cols.n_cigar, cols.cigar_op, cols.cigar_len, 0)
+    return cols
+
+
+def read_bam(path: str) -> tuple[BamHeader, BamColumns]:
+    data = read_bgzf(path)
+    header, body_off = parse_header(data)
+    body = np.frombuffer(data, dtype=np.uint8, offset=body_off)
+    return header, scan_records(body)
+
+
+def write_bam(path: str, header: BamHeader, record_bytes: bytes,
+              level: int = 6) -> None:
+    """Write header + raw record bytes as a BGZF BAM file."""
+    with open(path, "wb") as f:
+        f.write(compress_bgzf(header.encode() + record_bytes, level=level))

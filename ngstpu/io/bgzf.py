@@ -1,0 +1,147 @@
+"""BGZF block-compressed format: parallel reader + writer.
+
+BAM files are BGZF: concatenated gzip members each carrying a BSIZE extra
+field (total block size - 1). The reference reads them through samtools'
+bgzf.c / klib bgzf.c (reference klib/bgzf.h:84-112). Here the reader scans
+block boundaries from the headers (cheap) and inflates all blocks in
+parallel through the native zlib path; the writer emits spec-compliant
+64KB blocks plus the BGZF EOF marker, compressing blocks in parallel.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import struct
+import zlib
+
+import numpy as np
+
+from .native import get_lib
+
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
+_HDR = struct.Struct("<4BI2B2H")
+
+
+def _scan_blocks(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Walk BGZF headers; returns (starts, comp_lens, isize) int64 arrays."""
+    starts, lens, isizes = [], [], []
+    o = 0
+    n = len(data)
+    while o + 18 <= n:
+        if data[o] != 0x1F or data[o + 1] != 0x8B:
+            raise ValueError("bad BGZF magic")
+        xlen = struct.unpack_from("<H", data, o + 10)[0]
+        # find BC subfield
+        xo = o + 12
+        bsize = None
+        end_x = xo + xlen
+        while xo + 4 <= end_x:
+            si1, si2, slen = data[xo], data[xo + 1], struct.unpack_from("<H", data, xo + 2)[0]
+            if si1 == 0x42 and si2 == 0x43 and slen == 2:
+                bsize = struct.unpack_from("<H", data, xo + 4)[0] + 1
+            xo += 4 + slen
+        if bsize is None:
+            raise ValueError("BGZF block without BSIZE")
+        isize = struct.unpack_from("<I", data, o + bsize - 4)[0]
+        starts.append(o)
+        lens.append(bsize)
+        isizes.append(isize)
+        o += bsize
+    return (np.array(starts, dtype=np.int64), np.array(lens, dtype=np.int64),
+            np.array(isizes, dtype=np.int64))
+
+
+def decompress_bgzf(data: bytes) -> bytes:
+    """Whole-buffer BGZF -> plain bytes (parallel when native lib present)."""
+    lib = get_lib()
+    if lib is None:
+        return gzip.decompress(data)
+    starts, lens, isizes = _scan_blocks(data)
+    total = int(isizes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    out_offsets = np.zeros(len(starts), dtype=np.int64)
+    if len(starts):
+        np.cumsum(isizes[:-1], out=out_offsets[1:])
+    out_sizes = np.empty(len(starts), dtype=np.int64)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    rc = lib.ngs_gzip_decompress_blocks(arr, starts, lens, len(starts), out,
+                                        out_offsets, isizes, out_sizes, 0)
+    if rc != 0 or not (out_sizes == isizes).all():
+        return gzip.decompress(data)  # fallback on any mismatch
+    return out.tobytes()
+
+
+def read_bgzf(path: str) -> bytes:
+    with open(path, "rb") as f:
+        return decompress_bgzf(f.read())
+
+
+def compress_bgzf(data: bytes, level: int = 6,
+                  block_size: int = 0xFF00) -> bytes:
+    """Plain bytes -> BGZF blocks + EOF marker (parallel deflate)."""
+    lib = get_lib()
+    n = len(data)
+    n_blocks = (n + block_size - 1) // block_size if n else 0
+    chunks = []
+    if lib is not None and n_blocks:
+        starts = np.arange(n_blocks, dtype=np.int64) * block_size
+        lens = np.minimum(block_size, n - starts)
+        caps = lens + 1024
+        offs = np.zeros(n_blocks, dtype=np.int64)
+        np.cumsum(caps[:-1], out=offs[1:])
+        payload = np.empty(int(caps.sum()), dtype=np.uint8)
+        sizes = np.empty(n_blocks, dtype=np.int64)
+        arr = np.frombuffer(data, dtype=np.uint8)
+        rc = lib.ngs_gzip_compress_blocks(arr, starts, lens, n_blocks, payload,
+                                          caps, offs, sizes, level, 0)
+        if rc == 0:
+            for i in range(n_blocks):
+                raw = payload[offs[i]: offs[i] + sizes[i]].tobytes()
+                chunks.append(_wrap_bgzf(raw, int(lens[i]),
+                                         data[starts[i]:starts[i] + int(lens[i])],
+                                         level))
+            chunks.append(BGZF_EOF)
+            return b"".join(chunks)
+    # pure-python path
+    for i in range(n_blocks):
+        block = data[i * block_size:(i + 1) * block_size]
+        chunks.append(_deflate_block(block, level))
+    chunks.append(BGZF_EOF)
+    return b"".join(chunks)
+
+
+def _deflate_block(block: bytes, level: int) -> bytes:
+    co = zlib.compressobj(level, zlib.DEFLATED, -15)
+    comp = co.compress(block) + co.flush()
+    return _assemble(comp, block)
+
+
+def _wrap_bgzf(member: bytes, ulen: int, block: bytes, level: int) -> bytes:
+    """Re-wrap a full gzip member produced by the native path into BGZF
+    (strip its plain header/trailer, add the BSIZE header)."""
+    # native emitted a standard gzip member; extract the raw deflate part
+    flg = member[3]
+    o = 10
+    if flg & 4:
+        xlen = struct.unpack_from("<H", member, o)[0]
+        o += 2 + xlen
+    if flg & 8:
+        o = member.index(b"\x00", o) + 1
+    if flg & 16:
+        o = member.index(b"\x00", o) + 1
+    raw = member[o:-8]
+    return _assemble(raw, block)
+
+
+def _assemble(raw_deflate: bytes, block: bytes) -> bytes:
+    bsize = len(raw_deflate) + 25 + 1
+    if bsize - 1 > 0xFFFF:
+        raise ValueError("BGZF block too large")
+    hdr = (b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+           + struct.pack("<H", 6)
+           + b"BC" + struct.pack("<H", 2) + struct.pack("<H", bsize - 1))
+    trail = struct.pack("<I", zlib.crc32(block) & 0xFFFFFFFF) + \
+        struct.pack("<I", len(block) & 0xFFFFFFFF)
+    return hdr + raw_deflate + trail

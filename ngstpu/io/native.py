@@ -86,6 +86,19 @@ def get_lib() -> ctypes.CDLL | None:
         lib.ngs_gzip_decompress_blocks.restype = _int
         lib.ngs_gzip_decompress_blocks.argtypes = [
             _p_u8, _p_i64, _p_i64, _i64, _p_u8, _p_i64, _p_i64, _p_i64, _int]
+        lib.ngs_bam_count.restype = _int
+        lib.ngs_bam_count.argtypes = [_p_u8, _i64, ctypes.POINTER(_i64),
+                                      ctypes.POINTER(_i64)]
+        lib.ngs_bam_scan.argtypes = [
+            _p_u8, _i64, _p_i64, _p_i32, _p_i32, _p_i32, _p_i32, _p_i32,
+            _p_i32, _p_i32, _p_i64, _p_i32, _p_u8,
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"), _int]
+        lib.ngs_format_int3_rows.restype = _i64
+        lib.ngs_format_int3_rows.argtypes = [_p_u8, _i32, _p_i64, _p_i64,
+                                             _p_i64, _i64, _p_u8]
+        lib.ngs_format_int2_fixed2_rows.restype = _i64
+        lib.ngs_format_int2_fixed2_rows.argtypes = [_p_u8, _i32, _p_i64,
+                                                    _p_i64, _p_i64, _i64, _p_u8]
         _lib = lib
         return _lib
 
@@ -120,6 +133,26 @@ def fill_padded(data: np.ndarray, starts: np.ndarray, lens: np.ndarray,
                             np.ascontiguousarray(lens, np.int32),
                             b, lmax, out, 0)
     return out
+
+
+def format_int3_rows(prefix: bytes, a: np.ndarray, b: np.ndarray,
+                     c: np.ndarray) -> bytes:
+    """Rows "prefix\\tA\\tB\\tC\\n" (int columns), native itoa fast path."""
+    n = len(a)
+    if n == 0:
+        return b""
+    lib = get_lib()
+    a64 = np.ascontiguousarray(a, np.int64)
+    b64 = np.ascontiguousarray(b, np.int64)
+    c64 = np.ascontiguousarray(c, np.int64)
+    if lib is None:
+        return b"".join(prefix + b"\t%d\t%d\t%d\n" % t
+                        for t in zip(a64.tolist(), b64.tolist(), c64.tolist()))
+    cap = n * (len(prefix) + 64)
+    out = np.empty(cap, dtype=np.uint8)
+    w = lib.ngs_format_int3_rows(np.frombuffer(prefix, np.uint8), len(prefix),
+                                 a64, b64, c64, n, out)
+    return out[:w].tobytes()
 
 
 def concat_pairs(a: np.ndarray, la: np.ndarray, b: np.ndarray,

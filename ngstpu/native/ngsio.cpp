@@ -296,4 +296,151 @@ int ngs_gzip_decompress_blocks(const uint8_t* data, const int64_t* block_starts,
     return err.load();
 }
 
+// ---------------------------------------------------------------------------
+// BAM record scanning (columnar decode)
+//
+// Plays the role of samtools' bam_read1 / bam_fetch record iteration
+// (vendored samtools-0.1.19 sam.h/bam.c in the reference) but emits
+// structure-of-arrays the device pipeline consumes directly: fixed fields,
+// flattened cigar, per-record GC counts from the 4-bit packed bases.
+// ---------------------------------------------------------------------------
+
+// Pass 1: count records and total cigar ops in a decompressed alignment
+// section buf[0..n). Returns 0 on success, nonzero on truncation.
+int ngs_bam_count(const uint8_t* buf, int64_t n, int64_t* n_rec,
+                  int64_t* n_cigar_total) {
+    int64_t o = 0, rec = 0, cig = 0;
+    while (o + 4 <= n) {
+        uint32_t bs;
+        memcpy(&bs, buf + o, 4);
+        if (o + 4 + bs > (uint64_t)n) break;
+        if (bs >= 16) {
+            uint16_t n_cigar;
+            memcpy(&n_cigar, buf + o + 4 + 12, 2);
+            cig += n_cigar;
+        }
+        ++rec;
+        o += 4 + bs;
+    }
+    *n_rec = rec;
+    *n_cigar_total = cig;
+    return (o == n) ? 0 : 1;
+}
+
+// Pass 2: fill columnar outputs (caller sized them from ngs_bam_count).
+// gc counts bases whose 4-bit code is 2 (C) or 4 (G)
+// (reference bam_sliding_count.c:84-91 cal_GC).
+void ngs_bam_scan(const uint8_t* buf, int64_t n,
+                  int64_t* rec_offset, int32_t* rec_len,
+                  int32_t* tid, int32_t* pos, int32_t* flag, int32_t* mapq,
+                  int32_t* l_qseq, int32_t* gc,
+                  int64_t* cigar_offset, int32_t* n_cigar_out,
+                  uint8_t* cigar_op, uint32_t* cigar_len,
+                  int nthreads) {
+    // sequential offset walk (cheap), then parallel field extraction
+    int64_t o = 0, rec = 0, cig = 0;
+    while (o + 4 <= n) {
+        uint32_t bs;
+        memcpy(&bs, buf + o, 4);
+        if (o + 4 + bs > (uint64_t)n) break;
+        rec_offset[rec] = o;
+        rec_len[rec] = (int32_t)(4 + bs);
+        uint16_t nc = 0;
+        if (bs >= 16) memcpy(&nc, buf + o + 4 + 12, 2);
+        cigar_offset[rec] = cig;
+        n_cigar_out[rec] = nc;
+        cig += nc;
+        ++rec;
+        o += 4 + bs;
+    }
+    if (nthreads <= 0) nthreads = hw_threads();
+    static const int8_t GC_NIBBLE[16] = {0,0,1,0, 1,0,0,0, 0,0,0,0, 0,0,0,0};
+    parallel_ranges(rec, nthreads, [&](int64_t lo, int64_t hi, int) {
+        for (int64_t i = lo; i < hi; ++i) {
+            const uint8_t* r = buf + rec_offset[i] + 4;
+            int32_t v;
+            memcpy(&v, r, 4);      tid[i] = v;
+            memcpy(&v, r + 4, 4);  pos[i] = v;
+            uint8_t l_read_name = r[8];
+            mapq[i] = r[9];
+            uint16_t fl, nc;
+            memcpy(&nc, r + 12, 2);
+            memcpy(&fl, r + 14, 2);
+            flag[i] = fl;
+            memcpy(&v, r + 16, 4); l_qseq[i] = v;
+            const uint8_t* p = r + 32 + l_read_name;
+            uint8_t* ops = cigar_op + cigar_offset[i];
+            uint32_t* lens = cigar_len + cigar_offset[i];
+            for (int k = 0; k < nc; ++k) {
+                uint32_t cg;
+                memcpy(&cg, p + 4 * k, 4);
+                ops[k] = cg & 0xF;
+                lens[k] = cg >> 4;
+            }
+            const uint8_t* seq = p + 4 * nc;
+            int32_t ls = l_qseq[i];
+            int32_t g = 0;
+            for (int32_t k = 0; k < ls / 2; ++k) {
+                g += GC_NIBBLE[seq[k] >> 4] + GC_NIBBLE[seq[k] & 0xF];
+            }
+            if (ls & 1) g += GC_NIBBLE[seq[ls / 2] >> 4];
+            gc[i] = g;
+        }
+    });
+}
+
+// ---------------------------------------------------------------------------
+// Fast TSV row formatting (bedGraph / window / wig emission)
+// ---------------------------------------------------------------------------
+
+static inline uint8_t* put_i64(uint8_t* o, int64_t v) {
+    if (v < 0) { *o++ = '-'; v = -v; }
+    char tmp[24];
+    int k = 0;
+    do { tmp[k++] = '0' + (v % 10); v /= 10; } while (v);
+    while (k) *o++ = tmp[--k];
+    return o;
+}
+
+// rows "prefix\tA\tB\tC\n" with integer columns; returns bytes written.
+int64_t ngs_format_int3_rows(const uint8_t* prefix, int32_t prefix_len,
+                             const int64_t* a, const int64_t* b,
+                             const int64_t* c, int64_t n, uint8_t* out) {
+    uint8_t* o = out;
+    for (int64_t i = 0; i < n; ++i) {
+        memcpy(o, prefix, prefix_len);
+        o += prefix_len;
+        *o++ = '\t'; o = put_i64(o, a[i]);
+        *o++ = '\t'; o = put_i64(o, b[i]);
+        *o++ = '\t'; o = put_i64(o, c[i]);
+        *o++ = '\n';
+    }
+    return o - out;
+}
+
+// rows "prefix\tA\tB\tX.YZ\n" — last column fixed 2-decimal from
+// pre-scaled hundredths (C printf %.2f semantics handled by caller's
+// rounding; here v100 = round(value*100)).
+int64_t ngs_format_int2_fixed2_rows(const uint8_t* prefix, int32_t prefix_len,
+                                    const int64_t* a, const int64_t* b,
+                                    const int64_t* v100, int64_t n,
+                                    uint8_t* out) {
+    uint8_t* o = out;
+    for (int64_t i = 0; i < n; ++i) {
+        memcpy(o, prefix, prefix_len);
+        o += prefix_len;
+        *o++ = '\t'; o = put_i64(o, a[i]);
+        *o++ = '\t'; o = put_i64(o, b[i]);
+        *o++ = '\t';
+        int64_t v = v100[i];
+        if (v < 0) { *o++ = '-'; v = -v; }
+        o = put_i64(o, v / 100);
+        *o++ = '.';
+        *o++ = '0' + (v / 10) % 10;
+        *o++ = '0' + v % 10;
+        *o++ = '\n';
+    }
+    return o - out;
+}
+
 }  // extern "C"

@@ -1,0 +1,277 @@
+"""Vectorized cigar walking + sparse pileup sweep.
+
+The reference walks cigars record-by-record inserting M-block start/end
+positions into hash tables (reference bam2depth.c:86-110), then sweeps the
+sorted key union with a running depth (bam2depth.c:203-236). Here:
+
+- cigar -> events: one numpy pass over the flattened cigar arrays computes
+  每-op reference offsets by segmented exclusive cumsum; M-op block
+  [start, end) events fall out as flat arrays (no per-record loop).
+- events -> intervals: a device sort + cumsum produces depth breakpoints;
+  equal-depth neighbors merge exactly like the C sweep's
+  `last_depth==Count` branch.
+
+Advance set per the C walk: M(0), D(2), N(3) advance the reference
+cursor; I/S/H/P/=/X do not (bam2depth.c:94-107 — note =/X are ignored
+entirely, a reference quirk we preserve).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BAM_CMATCH, BAM_CINS, BAM_CDEL, BAM_CREF_SKIP = 0, 1, 2, 3
+
+
+def cigar_m_events(cols, rec_mask: np.ndarray):
+    """Flat M-block events for records where rec_mask is True.
+
+    Returns (tid[E], start[E], end[E]) int32/int64 numpy arrays.
+    """
+    R = cols.n
+    if R == 0 or len(cols.cigar_op) == 0:
+        z = np.zeros(0, np.int32)
+        return z, z, z
+    rec_id = np.repeat(np.arange(R, dtype=np.int64), cols.n_cigar)
+    op = cols.cigar_op
+    ln = cols.cigar_len.astype(np.int64)
+    advances = (op == BAM_CMATCH) | (op == BAM_CDEL) | (op == BAM_CREF_SKIP)
+    adv_len = np.where(advances, ln, 0)
+    csum = np.cumsum(adv_len)
+    excl = csum - adv_len
+    base = excl[cols.cigar_offset.astype(np.int64)]  # per record
+    off_in_rec = excl - base[rec_id]
+
+    is_block = (op == BAM_CMATCH) & rec_mask[rec_id]
+    starts = (cols.pos[rec_id].astype(np.int64) + off_in_rec)[is_block]
+    ends = starts + ln[is_block]
+    tids = cols.tid[rec_id][is_block]
+    return tids.astype(np.int32), starts.astype(np.int32), ends.astype(np.int32)
+
+
+@jax.jit
+def sparse_pileup_sweep(pos: jax.Array, delta: jax.Array, n_valid: jax.Array):
+    """Sort events and return per-event (sorted_pos, cumulative_depth,
+    is_group_last) — host code compresses to merged intervals.
+
+    pos int32 [E], delta int32 [E]; invalid rows (>= n_valid) are pushed to
+    the end with a sentinel position and excluded.
+    """
+    E = pos.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (E,), 0)
+    valid = idx < n_valid
+    key = jnp.where(valid, pos, jnp.int32(0x7FFFFFFF))
+    s_pos, s_delta, s_valid = jax.lax.sort(
+        (key, delta, valid.astype(jnp.int32)), num_keys=1, is_stable=False)
+    cum = jnp.cumsum(jnp.where(s_valid == 1, s_delta, 0))
+    nxt = jnp.concatenate([s_pos[1:], jnp.full((1,), -1, jnp.int32)])
+    is_last = (s_pos != nxt) & (s_valid == 1)
+    return s_pos, cum, is_last
+
+
+def merged_intervals(pos: np.ndarray, delta: np.ndarray):
+    """Host wrapper: events -> (starts, ends, depths) of maximal
+    constant-depth intervals with depth > 0 (the bedGraph rows)."""
+    if len(pos) == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    s_pos, cum, is_last = sparse_pileup_sweep(
+        jnp.asarray(pos), jnp.asarray(delta), jnp.int32(len(pos)))
+    s_pos, cum, is_last = (np.asarray(s_pos), np.asarray(cum),
+                           np.asarray(is_last))
+    u_pos = s_pos[is_last].astype(np.int64)
+    u_depth = cum[is_last].astype(np.int64)
+    if len(u_pos) == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    # boundaries where depth changes (baseline 0 before the first key)
+    prev = np.concatenate([[0], u_depth[:-1]])
+    keep = u_depth != prev
+    b_pos = u_pos[keep]
+    b_depth = u_depth[keep]
+    if len(b_pos) == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    starts = b_pos[:-1]
+    ends = b_pos[1:]
+    depths = b_depth[:-1]
+    nz = depths > 0
+    return starts[nz], ends[nz], depths[nz]
+
+
+def depth_window_bins(starts, ends, depths, window: int,
+                      n_windows: int, target_len: int) -> np.ndarray:
+    """bam2depth window bins: clean depth*bp overlap per window
+    (bam2depth.c:132-176 reduces to exact interval/window overlap)."""
+    bins = np.zeros(n_windows + 2, dtype=np.float64)
+    if len(starts) == 0:
+        return bins[:n_windows]
+    W = window
+    ls, le, d = starts.astype(np.int64), ends.astype(np.int64), depths.astype(np.float64)
+    fw = ls // W
+    lw = np.maximum((le - 1) // W, fw)
+    np.clip(fw, 0, n_windows + 1, out=fw)
+    np.clip(lw, 0, n_windows + 1, out=lw)
+    single = fw == lw
+    # first window overlap
+    first_end = np.minimum(le, (fw + 1) * W)
+    np.add.at(bins, fw, (first_end - ls) * d)
+    # last window overlap (distinct from first)
+    multi = ~single
+    np.add.at(bins, lw[multi], (le[multi] - lw[multi] * W) * d[multi])
+    # full middle windows via diff-array
+    mid = multi & (lw > fw + 1)
+    diff = np.zeros(n_windows + 3, dtype=np.float64)
+    np.add.at(diff, fw[mid] + 1, W * d[mid])
+    np.add.at(diff, lw[mid], -W * d[mid])
+    bins += np.cumsum(diff)[:n_windows + 2]
+    return bins[:n_windows]
+
+
+def wig_window_bins_exact(starts, ends, depths, window: int,
+                          n_windows: int, target_len: int) -> np.ndarray:
+    """Direct port of bam2wig.c:130-175 overlap() — authoritative.
+
+    Processes printed intervals in ascending order with the same window
+    cursor + rewind mechanism, including the off-by-one quirks.
+    """
+    bins = np.zeros(n_windows + 2, dtype=np.float64)
+    j = 0
+    subject_count = 0
+    W = window
+    for ls, le, d in zip(starts.tolist(), ends.tolist(), depths.tolist()):
+        if subject_count > 1:
+            j = j - subject_count if j - subject_count >= 0 else 0
+        subject_count = 0
+        while j <= n_windows:
+            ws = W * j
+            we = (j + 1) * W - 1
+            if we > target_len:
+                we = target_len
+            if le < ws:
+                break
+            if ls < ws:
+                if le < we:
+                    bins[j] += (le - ws) * d
+                    subject_count += 1
+                    break
+                else:
+                    bins[j] += (we - ws + 1) * d
+                    j += 1
+                    subject_count += 1
+            else:
+                if ls <= we:
+                    if le <= we:
+                        bins[j] += (le - ls) * d
+                        subject_count += 1
+                        break
+                    else:
+                        bins[j] += (we - ls) * d
+                        j += 1
+                        subject_count += 1
+                else:
+                    j += 1
+    return bins[:n_windows]
+
+
+def depth_window_bins_exact(starts, ends, depths, window: int,
+                            n_windows: int, target_len: int) -> np.ndarray:
+    """Direct port of bam2depth.c:132-176 overlap() — oracle for tests."""
+    bins = np.zeros(n_windows + 2, dtype=np.float64)
+    j = 0
+    subject_count = 0
+    W = window
+    for ls, le, d in zip(starts.tolist(), ends.tolist(), depths.tolist()):
+        if subject_count > 1:
+            j = j - subject_count if j - subject_count >= 0 else 0
+        subject_count = 0
+        while j <= n_windows:
+            ws = W * j
+            we = (j + 1) * W
+            if we > target_len:
+                we = target_len
+            if le < ws:
+                break
+            if ls <= ws:
+                if le <= we:
+                    bins[j] += (le - ws) * d
+                    subject_count += 1
+                    break
+                else:
+                    bins[j] += (we - ws) * d
+                    j += 1
+                    subject_count += 1
+            else:
+                if ls < we:
+                    if le <= we:
+                        bins[j] += (le - ls) * d
+                        subject_count += 1
+                        break
+                    else:
+                        bins[j] += (we - ls) * d
+                        j += 1
+                        subject_count += 1
+                else:
+                    j += 1
+    return bins[:n_windows]
+
+
+def wig_window_bins(starts, ends, depths, window: int,
+                    n_windows: int, target_len: int) -> np.ndarray:
+    """bam2wig window bins with the reference's off-by-one arithmetic
+    (bam2wig.c:130-175): inclusive window_end=(j+1)*W-1 clamped to
+    target_len; full windows add W' = we-ws+1 (an extra bp in the clamped
+    window); a boundary-crossing tail adds (we-ls) WITHOUT the +1."""
+    W = window
+    bins = np.zeros(n_windows + 3, dtype=np.float64)
+    if len(starts) == 0:
+        return bins[:n_windows]
+    ls, le, d = starts.astype(np.int64), ends.astype(np.int64), depths.astype(np.float64)
+
+    def we_of(w):
+        return np.minimum((w + 1) * W - 1, target_len)
+
+    fw = ls // W
+    we1 = we_of(fw)
+    single = le <= we1
+    # first window: ls >= ws branch: le<=we -> le-ls ; else we-ls (no +1)
+    c_first = np.where(single, le - ls, we1 - ls)
+    np.add.at(bins, np.clip(fw, 0, n_windows + 2), c_first * d)
+    # full windows after fw: w such that le >= we_of(w)
+    multi = ~single
+    if multi.any():
+        lsm, lem, dm, fwm = ls[multi], le[multi], d[multi], fw[multi]
+        # unclamped full: w in [fw+1, (le+1)//W - 1]
+        w_full_hi = (lem + 1) // W - 1
+        lo = fwm + 1
+        hi = np.minimum(w_full_hi, n_windows + 1)
+        has_full = hi >= lo
+        diff = np.zeros(n_windows + 4, dtype=np.float64)
+        np.add.at(diff, np.clip(lo[has_full], 0, n_windows + 3),
+                  W * dm[has_full])
+        np.add.at(diff, np.clip(hi[has_full] + 1, 0, n_windows + 3),
+                  -W * dm[has_full])
+        bins += np.cumsum(diff)[:n_windows + 3]
+        # clamped final window (we=target_len): full iff le >= target_len,
+        # contributing target_len - ws + 1 instead of W
+        wc = target_len // W  # first window whose unclamped we exceeds len
+        if wc * W + W - 1 > target_len:
+            clamped_full = (lem >= target_len) & (fwm < wc) & (wc <= n_windows + 1)
+            np.add.at(bins, np.full(int(clamped_full.sum()), wc),
+                      (target_len - wc * W + 1) * dm[clamped_full])
+            # the unclamped diff-array already added W for windows it
+            # believed full; subtract the over/under-count where w_full_hi
+            # covered wc
+            over = clamped_full & (w_full_hi >= wc)
+            np.add.at(bins, np.full(int(over.sum()), wc), -W * dm[over])
+        # partial tail window w_p = w_full_max+1 (or fw+1 when none full):
+        w_p = np.maximum(w_full_hi + 1, fwm + 1)
+        ws_p = w_p * W
+        tail = (lem >= ws_p) & (lem < we_of(w_p)) & (w_p <= n_windows + 1)
+        np.add.at(bins, np.clip(w_p[tail], 0, n_windows + 2),
+                  (lem[tail] - ws_p[tail]) * dm[tail])
+    return bins[:n_windows]

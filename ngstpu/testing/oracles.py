@@ -37,6 +37,51 @@ SIMPLE_TOOLS: dict[str, tuple[list[str], list[str]]] = {
 }
 
 _FASTQ_TOOLS_SRC = "fastq-tools-0.7"
+_SAMTOOLS_SRC = "samtools-0.1.19"
+BAM_TOOLS = {"bam2depth": ["bam2depth.c", "hashtbl.c"],
+             "bam2wig": ["bam2wig.c", "hashtbl.c"],
+             "bamSplitChr": ["bamSplitChr.c"]}
+
+
+def _samtools_dir() -> pathlib.Path | None:
+    """Extract + build the vendored samtools (libbam.a + samtools binary)."""
+    vendor = REPO / ".cache" / "ref-vendor"
+    d = vendor / _SAMTOOLS_SRC
+    if (d / "libbam.a").exists() and (d / "samtools").exists():
+        return d
+    vendor.mkdir(parents=True, exist_ok=True)
+    try:
+        if not d.exists():
+            subprocess.run(["tar", "xjf", str(REF / "samtools-0.1.19.tar.bz2")],
+                           cwd=vendor, check=True, timeout=120)
+        subprocess.run(
+            ["make", "-j2", "samtools",
+             "DFLAGS=-D_FILE_OFFSET_BITS=64 -D_LARGEFILE64_SOURCE "
+             "-D_USE_KNETFILE -D_CURSES_LIB=0", "LIBCURSES="],
+            cwd=d, check=True, capture_output=True, timeout=600)
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired, OSError):
+        return None
+    return d if (d / "libbam.a").exists() else None
+
+
+def samtools_exe() -> str | None:
+    d = _samtools_dir()
+    return str(d / "samtools") if d and (d / "samtools").exists() else None
+
+
+def _build_bam_tool(tool: str) -> str | None:
+    exe = ORACLE_DIR / tool
+    d = _samtools_dir()
+    if d is None:
+        return None
+    srcs = [str(REF / s) for s in BAM_TOOLS[tool]]
+    cmd = [_cc(), "-O2", "-w", "-o", str(exe)] + srcs + [
+        f"-I{REF}", f"-I{d}", str(d / "libbam.a"), "-lz", "-lpthread", "-lm"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+    except subprocess.CalledProcessError:
+        return None
+    return str(exe) if exe.exists() else None
 
 
 def have_toolchain() -> bool:
@@ -57,6 +102,8 @@ def build_oracle(tool: str) -> str | None:
         return None
     if tool == "gzfastq_sample":
         return _build_gzfastq_sample()
+    if tool in BAM_TOOLS:
+        return _build_bam_tool(tool)
     if tool not in SIMPLE_TOOLS:
         return None
     srcs, extra = SIMPLE_TOOLS[tool]

@@ -1,0 +1,127 @@
+"""bam2depth: BAM -> per-base bedGraph + windowed mean depth (+wig).
+
+Parity target: reference bam2depth.c. Per input BAM i (1-based):
+- basename(bam).{i}.bedGraph — merged constant-depth intervals
+  "chr\\tstart\\tend\\tdepth" (hash2BedGraph :203-236)
+- {outfile}.{i}.depth — every window "chr\\tws\\twe\\tmean" with
+  we=min((j+1)W, len) and mean=bins/W at %.2f (output_bins :238-246)
+- with -W: {outfile}.{i}.wig (variableStep, nonzero bins only) and
+  {outfile}.{i}.chromSize.txt
+Read filter: skip flag & BAM_DEF_MASK (unmapped|secondary|qcfail|dup) or
+tid<0 (:90); M-ops (op 0 only) produce [start,end) events, D/N advance,
+I/S/H/P/=/X ignored (:94-107). All chromosomes are processed in header
+order; default outfile "-" streams to stdout. The reference requires a
+.bai and bam_fetch; we stream the whole (coordinate-grouped) file —
+identical output for indexed inputs. -r falls through to -s in the C
+getopt (missing break, :281-284) and is effectively ignored; accepted
+here for compatibility.
+"""
+
+from __future__ import annotations
+
+import getopt
+import os
+import sys
+
+import numpy as np
+
+from ..io.bam import DEF_MASK, read_bam
+from ..io.native import format_int3_rows
+from ..io.stream import open_text_output, with_suffix
+from ..ops.bamops import cigar_m_events, depth_window_bins, merged_intervals
+from ..utils.timing import StageTimer
+
+
+def chrom_events(cols, mask):
+    """Events grouped by tid: returns dict tid -> (pos, delta) arrays."""
+    tids, starts, ends = cigar_m_events(cols, mask)
+    pos = np.concatenate([starts, ends])
+    delta = np.concatenate([np.ones(len(starts), np.int32),
+                            -np.ones(len(ends), np.int32)])
+    tid2 = np.concatenate([tids, tids])
+    order = np.argsort(tid2, kind="stable")
+    tid_sorted = tid2[order]
+    pos, delta = pos[order], delta[order]
+    out = {}
+    uniq = np.unique(tid_sorted)
+    for t in uniq:
+        lo = np.searchsorted(tid_sorted, t)
+        hi = np.searchsorted(tid_sorted, t, side="right")
+        out[int(t)] = (pos[lo:hi], delta[lo:hi])
+    return out
+
+
+def process_bam(path: str, index1: int, outfile: str, window: int,
+                wig: bool, timer: StageTimer) -> None:
+    header, cols = read_bam(path)
+    bedgraph = open_text_output(
+        with_suffix(os.path.basename(path), f".{index1}.bedGraph"))
+    depth_out = open_text_output(with_suffix(outfile, f".{index1}.depth"))
+    wig_out = chr_out = None
+    if wig:
+        wig_out = open_text_output(with_suffix(outfile, f".{index1}.wig"))
+        chr_out = open_text_output(
+            with_suffix(outfile, f".{index1}.chromSize.txt"))
+
+    mask = ((cols.flag & DEF_MASK) == 0) & (cols.tid >= 0)
+    by_tid = chrom_events(cols, mask)
+
+    for j, (name, tlen) in enumerate(zip(header.ref_names, header.ref_lens)):
+        n_windows = tlen // window + 1
+        pos, delta = by_tid.get(j, (np.zeros(0, np.int32), np.zeros(0, np.int32)))
+        starts, ends, depths = merged_intervals(pos, delta)
+        if len(starts):
+            bedgraph.write(format_int3_rows(
+                name.encode(), starts, ends, depths).decode())
+        bins = depth_window_bins(starts, ends, depths, window, n_windows, tlen)
+        ws = np.arange(n_windows, dtype=np.int64) * window
+        we = np.minimum(ws + window, tlen)
+        rows = [f"{name}\t{int(ws[i])}\t{int(we[i])}\t{bins[i] / window:.2f}\n"
+                for i in range(n_windows)]
+        depth_out.write("".join(rows))
+        if wig:
+            wig_out.write(f"variableStep chrom={name} span={window}\n")
+            nz = np.flatnonzero(bins)
+            wig_out.write("".join(
+                f"{int(ws[i])}\t{bins[i] / window:.2f}\n" for i in nz))
+            chr_out.write(f"{name}\t{tlen}\n")
+        timer.checkpoint(name)
+        sys.stderr.write(f"{name} at {timer.elapsed():.3f} s\n")
+
+    for f in (bedgraph, depth_out, wig_out, chr_out):
+        if f is not None and f is not sys.stdout:
+            f.close()
+    sys.stderr.write(
+        f"Converted {path} to wig format at {timer.elapsed():.3f} s\n")
+
+
+def main(argv: list[str]) -> int:
+    timer = StageTimer()
+    outfile, window, wig = "-", 20000, False
+    if not argv:
+        _usage()
+        return 1
+    opts, files = getopt.gnu_getopt(argv, "o:w:r:s:Wh?")
+    for flag, val in opts:
+        if flag == "-o":
+            outfile = val
+        elif flag == "-w":
+            window = int(val)
+        elif flag == "-W":
+            wig = True
+        elif flag in ("-r", "-s"):
+            pass  # -r falls through to -s in the C getopt; both unused
+        elif flag in ("-h", "-?"):
+            _usage()
+            return 1
+    if not files:
+        _usage()
+        return 1
+    for i, path in enumerate(files, 1):
+        process_bam(path, i, outfile, window, wig, timer)
+    return 0
+
+
+def _usage() -> None:
+    sys.stderr.write(
+        "Usage: ngstpu bam2depth [-o OUTFILE] [-w WINDOW_SIZE] [-r region] [-W] [-s 0] [-h] bam1 bam2 ...\n")

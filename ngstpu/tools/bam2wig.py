@@ -1,0 +1,84 @@
+"""bam2wig: BAM -> variableStep wig of windowed mean depth + chromSize.
+
+Parity target: reference bam2wig.c. Differences from bam2depth preserved:
+- filter only BAM_FUNMAP (:88) — secondary/qcfail/dup reads DO count
+- window arithmetic with inclusive window_end=(j+1)*W-1 and its
+  off-by-one quirks (overlap :130-175) — reproduced exactly
+- outputs only {outfile}.{i}.wig (variableStep span=W header per chrom,
+  nonzero windows "ws\\tmean" :245-253) and {outfile}.{i}.chromSize.txt
+  (always, :322); no bedGraph. Default outfile "-" -> both to stdout,
+  interleaved per chromosome in wig-then-chromSize order.
+"""
+
+from __future__ import annotations
+
+import getopt
+import sys
+
+import numpy as np
+
+from ..io.bam import FUNMAP, read_bam
+from ..io.stream import open_text_output, with_suffix
+from ..ops.bamops import merged_intervals, wig_window_bins_exact
+from ..utils.timing import StageTimer
+from .bam2depth import chrom_events
+
+
+def process_bam(path: str, index1: int, outfile: str, window: int,
+                timer: StageTimer) -> None:
+    header, cols = read_bam(path)
+    wig_out = open_text_output(with_suffix(outfile, f".{index1}.wig"))
+    chr_out = open_text_output(with_suffix(outfile, f".{index1}.chromSize.txt"))
+
+    mask = ((cols.flag & FUNMAP) == 0) & (cols.tid >= 0)
+    by_tid = chrom_events(cols, mask)
+
+    for j, (name, tlen) in enumerate(zip(header.ref_names, header.ref_lens)):
+        n_windows = tlen // window + 1
+        pos, delta = by_tid.get(j, (np.zeros(0, np.int32), np.zeros(0, np.int32)))
+        starts, ends, depths = merged_intervals(pos, delta)
+        bins = wig_window_bins_exact(starts, ends, depths, window,
+                                     n_windows, tlen)
+        wig_out.write(f"variableStep chrom={name} span={window}\n")
+        ws = np.arange(n_windows, dtype=np.int64) * window
+        nz = np.flatnonzero(bins)
+        wig_out.write("".join(
+            f"{int(ws[i])}\t{bins[i] / window:.2f}\n" for i in nz))
+        chr_out.write(f"{name}\t{tlen}\n")
+        sys.stderr.write(f"{name} at {timer.elapsed():.3f} s\n")
+
+    for f in (wig_out, chr_out):
+        if f is not sys.stdout:
+            f.close()
+    sys.stderr.write(
+        f"Converted {path} to wig format at {timer.elapsed():.3f} s\n")
+
+
+def main(argv: list[str]) -> int:
+    timer = StageTimer()
+    outfile, window = "-", 20000
+    if not argv:
+        _usage()
+        return 1
+    opts, files = getopt.gnu_getopt(argv, "o:w:r:s:h?")
+    for flag, val in opts:
+        if flag == "-o":
+            outfile = val
+        elif flag == "-w":
+            window = int(val)
+        elif flag in ("-r", "-s"):
+            pass
+        elif flag in ("-h", "-?"):
+            _usage()
+            return 1
+    if not files:
+        _usage()
+        return 1
+    for i, path in enumerate(files, 1):
+        process_bam(path, i, outfile, window, timer)
+    return 0
+
+
+def _usage() -> None:
+    sys.stderr.write(
+        "Usage: ngstpu bam2wig [-o OUTFILE] [-w WINDOW_SIZE] [-h] bam1 bam2 ...\n")

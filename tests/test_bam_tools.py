@@ -1,0 +1,99 @@
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from ngstpu.testing.bamfixtures import index_bam, random_bam
+from ngstpu.testing.oracles import run_oracle, samtools_exe
+from ngstpu.tools.cli import main as cli_main
+
+REFS = [("chr1", 150000), ("chr2", 80000), ("chrX", 43000)]
+
+
+@pytest.fixture(scope="module")
+def bam_fixture(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bam")
+    p = str(d / "t.bam")
+    random_bam(p, REFS, n_reads=4000, seed=7, read_len=100)
+    if not index_bam(p):
+        pytest.skip("no samtools for indexing")
+    return p
+
+
+def test_bam_reader_vs_samtools(bam_fixture):
+    """Our decode agrees with samtools view on count/tid/pos/flag."""
+    st = samtools_exe()
+    out = subprocess.run([st, "view", bam_fixture], capture_output=True,
+                         timeout=120)
+    sam_lines = out.stdout.decode().strip().split("\n")
+    from ngstpu.io.bam import read_bam
+    header, cols = read_bam(bam_fixture)
+    assert cols.n == len(sam_lines)
+    f = sam_lines[0].split("\t")
+    assert int(f[1]) == cols.flag[0]
+    assert int(f[3]) == cols.pos[0] + 1
+    assert header.ref_names[cols.tid[0]] == f[2]
+
+
+def _run_both(tmp_path, tool, args_tpl, bam):
+    ref_dir = tmp_path / "ref"
+    ours_dir = tmp_path / "ours"
+    ref_dir.mkdir()
+    ours_dir.mkdir()
+    ref = run_oracle(tool, args_tpl + [bam], cwd=str(ref_dir))
+    if ref is None:
+        pytest.skip("no C toolchain")
+    assert ref.returncode == 0, ref.stderr.decode()[:500]
+    old = os.getcwd()
+    os.chdir(ours_dir)
+    try:
+        rc = cli_main([tool] + args_tpl + [bam])
+        assert rc == 0
+    finally:
+        os.chdir(old)
+    return ref_dir, ours_dir
+
+
+def test_bam2depth_parity(tmp_path, bam_fixture):
+    ref_dir, ours_dir = _run_both(tmp_path, "bam2depth",
+                                  ["-o", "out", "-w", "7000", "-W"], bam_fixture)
+    ref_files = sorted(os.listdir(ref_dir))
+    ours_files = sorted(os.listdir(ours_dir))
+    assert ref_files == ours_files
+    for f in ref_files:
+        assert (ours_dir / f).read_bytes() == (ref_dir / f).read_bytes(), f
+
+
+def test_bam2depth_default_window(tmp_path, bam_fixture):
+    ref_dir, ours_dir = _run_both(tmp_path, "bam2depth", ["-o", "out"],
+                                  bam_fixture)
+    for f in sorted(os.listdir(ref_dir)):
+        assert (ours_dir / f).read_bytes() == (ref_dir / f).read_bytes(), f
+
+
+def test_bam2wig_parity(tmp_path, bam_fixture):
+    ref_dir, ours_dir = _run_both(tmp_path, "bam2wig",
+                                  ["-o", "w", "-w", "9000"], bam_fixture)
+    ref_files = sorted(os.listdir(ref_dir))
+    ours_files = sorted(os.listdir(ours_dir))
+    assert ref_files == ours_files
+    for f in ref_files:
+        assert (ours_dir / f).read_bytes() == (ref_dir / f).read_bytes(), f
+
+
+def test_bam_split_chr_parity(tmp_path, bam_fixture):
+    st = samtools_exe()
+    ref_dir, ours_dir = _run_both(tmp_path, "bamSplitChr", ["-o", "s"],
+                                  bam_fixture)
+    ref_files = sorted(os.listdir(ref_dir))
+    ours_files = sorted(os.listdir(ours_dir))
+    assert ref_files == ours_files
+    for f in ref_files:
+        # BGZF bytes differ; compare SAM text decode
+        rv = subprocess.run([st, "view", "-h", str(ref_dir / f)],
+                            capture_output=True, timeout=120)
+        ov = subprocess.run([st, "view", "-h", str(ours_dir / f)],
+                            capture_output=True, timeout=120)
+        assert rv.returncode == 0 and ov.returncode == 0, f
+        assert ov.stdout == rv.stdout, f
