@@ -1,0 +1,99 @@
+"""FastQC-equivalent statistics (the Rgzfastq_uniq.c / Rfastqc.R pipeline).
+
+One fused device pass per mate computing the matrices the R bridge returns
+(reference Rgzfastq_uniq.c:250-305):
+- quality matrix [128 qual x MaxLen cycle] (AssignQuality :42-48)
+- nucleotide matrix [5 x MaxLen] with ntVal rows T/C/A/G/N and any other
+  byte counted as T (:97-114 initNtVal, STATSEQ :50-57)
+- per-read GC fraction (uppercase G/C only, :53)
+- length histogram Length[len-1] (1-based bins, :174)
+Duplication counts come from the sort-engine dedup over the truncated key
+(first 50bp per mate when len>75, :172,180).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_LEN = 300  # reference Rgzfastq_uniq.c:26
+
+
+@functools.partial(jax.jit, static_argnames=("n_qual", "max_len"))
+def fastqc_stats(seq: jax.Array, qual: jax.Array, lens: jax.Array,
+                 n_valid: jax.Array, n_qual: int = 128,
+                 max_len: int = MAX_LEN):
+    """Returns dict: quality [L, n_qual], ntval [L, 5], gc_frac [B] f32,
+    len_hist [max_len] (bin i == length i+1)."""
+    B, L = seq.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    rowmask = row < n_valid
+    mask = (col < lens[:, None]) & rowmask
+
+    qvals = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_qual), 2)
+    onehot = (qual.astype(jnp.int32)[:, :, None] == qvals) & mask[:, :, None]
+    quality = jnp.sum(onehot, axis=0, dtype=jnp.int32)  # [L, n_qual]
+
+    # ntVal codes: default T(0); C=1, A=2, G=3, N/'.'=4 (case-insensitive)
+    up = seq & 0xDF
+    code = jnp.zeros(seq.shape, jnp.int32)
+    code = jnp.where(up == ord("C"), 1, code)
+    code = jnp.where(up == ord("A"), 2, code)
+    code = jnp.where(up == ord("G"), 3, code)
+    # only uppercase 'N' and '.' map to N (initNtVal :108 — lowercase 'n'
+    # falls through to T)
+    code = jnp.where((seq == ord("N")) | (seq == ord(".")), 4, code)
+    cvals = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 5), 2)
+    ntval = jnp.sum((code[:, :, None] == cvals) & mask[:, :, None], axis=0,
+                    dtype=jnp.int32)  # [L, 5]
+
+    is_gc = ((seq == ord("G")) | (seq == ord("C"))) & mask  # uppercase only
+    gc_frac = jnp.sum(is_gc, axis=1).astype(jnp.float32) / \
+        jnp.maximum(lens, 1).astype(jnp.float32)
+
+    lvals = jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1)
+    len_onehot = ((lens - 1)[:, None] == lvals) & rowmask
+    len_hist = jnp.sum(len_onehot, axis=0, dtype=jnp.int32)
+
+    return dict(quality=quality, ntval=ntval, gc_frac=gc_frac,
+                len_hist=len_hist)
+
+
+def truncated_key(seq: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """The dedup key rule: first 50bp when len > 75, else whole read
+    (reference Rgzfastq_uniq.c:172)."""
+    key_lens = np.where(lens > 75, 50, lens).astype(np.int32)
+    width = max(((int(key_lens.max(initial=1)) + 3) // 4) * 4, 4)
+    key = seq[:, :width].copy()
+    colm = np.arange(width)[None, :] < key_lens[:, None]
+    key *= colm
+    return key, key_lens
+
+
+def fastqc_stats_numpy(seq_list: list[bytes], qual_list: list[bytes]):
+    """Reference-semantics oracle for tests (direct port)."""
+    quality = np.zeros((128, MAX_LEN), dtype=np.int64)
+    ntval = np.zeros((5, MAX_LEN), dtype=np.int64)
+    len_hist = np.zeros(MAX_LEN, dtype=np.int64)
+    gc = []
+    nt_map = np.zeros(256, dtype=np.int64)
+    for c, v in ((b"Cc", 1), (b"Aa", 2), (b"Gg", 3), (b"N.", 4)):
+        for ch in c:
+            nt_map[ch] = v
+    nt_map[ord("n")] = 0  # lowercase n is NOT mapped to N in initNtVal
+    for s, q in zip(seq_list, qual_list):
+        L = len(s)
+        g = 0
+        for i, b in enumerate(s):
+            if b in (ord("G"), ord("C")):
+                g += 1
+            ntval[nt_map[b], i] += 1
+        gc.append(g / L if L else 0.0)
+        for i, b in enumerate(q):
+            quality[b, i] += 1
+        len_hist[L - 1] += 1
+    return quality, ntval, len_hist, np.array(gc)

@@ -40,7 +40,8 @@ _FASTQ_TOOLS_SRC = "fastq-tools-0.7"
 _SAMTOOLS_SRC = "samtools-0.1.19"
 BAM_TOOLS = {"bam2depth": ["bam2depth.c", "hashtbl.c"],
              "bam2wig": ["bam2wig.c", "hashtbl.c"],
-             "bamSplitChr": ["bamSplitChr.c"]}
+             "bamSplitChr": ["bamSplitChr.c"],
+             "bam_sliding_count": ["bam_sliding_count.c"]}
 
 
 def _samtools_dir() -> pathlib.Path | None:
@@ -64,6 +65,47 @@ def _samtools_dir() -> pathlib.Path | None:
     return d if (d / "libbam.a").exists() else None
 
 
+_GD_STUB_H = """\
+/* minimal no-op libgd stub for oracle builds (PNG output not compared) */
+#ifndef GD_STUB_H
+#define GD_STUB_H
+#include <stdio.h>
+#include <stdlib.h>
+typedef struct { int w, h; } gdImage;
+typedef gdImage* gdImagePtr;
+typedef struct { int n; } gdFont;
+typedef gdFont* gdFontPtr;
+static gdImagePtr gdImageCreate(int w, int h){ gdImagePtr p = (gdImagePtr)malloc(sizeof(gdImage)); p->w=w; p->h=h; return p; }
+static int gdImageColorExact(gdImagePtr im, int r, int g, int b){ (void)im; return (r<<16)|(g<<8)|b; }
+static void gdImageColorDeallocate(gdImagePtr im, int c){ (void)im; (void)c; }
+static int gdImageColorAllocate(gdImagePtr im, int r, int g, int b){ (void)im; return (r<<16)|(g<<8)|b; }
+static void gdImageString(gdImagePtr im, gdFontPtr f, int x, int y, unsigned char *s, int c){}
+static void gdImageRectangle(gdImagePtr im, int x1,int y1,int x2,int y2,int c){}
+static void gdImageFilledRectangle(gdImagePtr im, int x1,int y1,int x2,int y2,int c){}
+static void gdImageSetPixel(gdImagePtr im, int x, int y, int c){}
+static void gdImagePng(gdImagePtr im, FILE *f){}
+static void gdImageDestroy(gdImagePtr im){ free(im); }
+#endif
+"""
+
+_GD_FONT_STUB_H = """\
+#ifndef GDFONTG_STUB_H
+#define GDFONTG_STUB_H
+#include "gd.h"
+static gdFont gd_stub_font = {0};
+static gdFontPtr gdFontGetGiant(void){ return &gd_stub_font; }
+#endif
+"""
+
+
+def _write_gd_stub(stub_dir: pathlib.Path) -> None:
+    stub_dir.mkdir(parents=True, exist_ok=True)
+    for name, text in (("gd.h", _GD_STUB_H), ("gdfontg.h", _GD_FONT_STUB_H)):
+        f = stub_dir / name
+        if not f.exists():
+            f.write_text(text)
+
+
 def samtools_exe() -> str | None:
     d = _samtools_dir()
     return str(d / "samtools") if d and (d / "samtools").exists() else None
@@ -75,7 +117,14 @@ def _build_bam_tool(tool: str) -> str | None:
     if d is None:
         return None
     srcs = [str(REF / s) for s in BAM_TOOLS[tool]]
-    cmd = [_cc(), "-O2", "-w", "-o", str(exe)] + srcs + [
+    extra = []
+    if tool == "bam_sliding_count":
+        # PNG rendering is not part of the parity surface; build the oracle
+        # against a no-op libgd stub so only the .txt output is exercised.
+        stub = REPO / ".cache" / "gdstub"
+        _write_gd_stub(stub)
+        extra = [f"-I{stub}"]
+    cmd = [_cc(), "-O2", "-w", "-o", str(exe)] + srcs + extra + [
         f"-I{REF}", f"-I{d}", str(d / "libbam.a"), "-lz", "-lpthread", "-lm"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=180)

@@ -1,0 +1,178 @@
+"""fastqc: FastQC-style QC report (the Rfastqc.R pipeline, TPU-native).
+
+Equivalent of `Rscript Rfastqc.R out fq1 [fq2]` (reference Rfastqc.R:356-384
+driving Rgzfastq_uniq.c): computes the duplication counts, per-read GC,
+128x300 quality matrix, 5x300 nucleotide matrix and length histogram on
+device, then renders the report as TSV matrices plus PNG charts (per-cycle
+quality heatmap with Q20/Q30 markers, nucleotide content, GC density,
+length distribution, duplication levels). Plot files are our own rendering
+(the reference's PNGs are R-device output and not a byte-parity surface);
+the underlying matrices match Rgzfastq_uniq.c exactly.
+
+Usage: ngstpu fastqc <out_prefix> <fq1> [fq2]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..io.fastq import read_fastq_file
+from ..io.native import concat_pairs
+from ..ops.fastqc import MAX_LEN, fastqc_stats, truncated_key
+from ..ops.sortengine import bytes_to_words, dedup_sorted
+from ..utils.png import Canvas, write_png
+from ..utils.timing import StageTimer
+
+NT_ROWS = "TCAGN"
+Q20, Q30 = 53, 63  # raw ascii thresholds (Rfastqc.R:240-244)
+
+
+def mate_stats(batch):
+    res = fastqc_stats(jnp.asarray(batch.seq), jnp.asarray(batch.qual),
+                       jnp.asarray(batch.lens), jnp.int32(batch.n))
+    return {k: np.asarray(v) for k, v in res.items()}
+
+
+def dup_counts(b1, b2=None) -> np.ndarray:
+    k1, l1 = truncated_key(b1.seq, b1.lens)
+    if b2 is not None:
+        k2, l2 = truncated_key(b2.seq, b2.lens)
+        width = ((k1.shape[1] + k2.shape[1] + 3) // 4) * 4
+        key = concat_pairs(k1, l1, k2, l2, width)
+        key_lens = (l1.astype(np.int64) + l2.astype(np.int64)).astype(np.int32)
+    else:
+        key, key_lens = k1, l1
+    res = dedup_sorted(bytes_to_words(jnp.asarray(key)), jnp.asarray(key_lens),
+                       jnp.zeros(len(key_lens), jnp.uint32),
+                       jnp.int32(len(key_lens)), length_first=False)
+    is_head = np.asarray(res["is_head"])
+    counts = np.asarray(res["group_count"])[is_head]
+    return np.sort(counts)[::-1]
+
+
+def _write_matrix(path: str, mat: np.ndarray, row_names=None,
+                  col_offset: int = 1) -> None:
+    with open(path, "w") as f:
+        f.write("#" + "\t".join(str(c + col_offset)
+                                for c in range(mat.shape[1])) + "\n")
+        for r in range(mat.shape[0]):
+            name = row_names[r] if row_names else str(r)
+            f.write(name + "\t" + "\t".join(str(int(v)) for v in mat[r]) + "\n")
+
+
+def _chart_lines(path: str, series: dict, width=900, height=360,
+                 colors=None) -> None:
+    canvas = Canvas(width, height)
+    canvas.rectangle(40, 10, width - 10, height - 30, (0, 0, 0))
+    palette = colors or [(70, 130, 180), (255, 140, 0), (107, 142, 35),
+                         (178, 34, 34), (106, 90, 205)]
+    vmax = max((float(np.max(v)) for v in series.values() if len(v)), default=1.0)
+    vmax = vmax or 1.0
+    for i, (name, vals) in enumerate(series.items()):
+        color = palette[i % len(palette)]
+        n = len(vals)
+        if n < 2:
+            continue
+        xs = 40 + (np.arange(n) / (n - 1)) * (width - 55)
+        ys = (height - 30) - (np.asarray(vals, float) / vmax) * (height - 45)
+        for k in range(n - 1):
+            _line(canvas, xs[k], ys[k], xs[k + 1], ys[k + 1], color)
+        canvas.filled_rectangle(50 + i * 90, height - 25, 60 + i * 90,
+                                height - 15, color)
+        canvas.text(64 + i * 90, height - 27, name[:8], color, scale=1)
+    write_png(path, canvas)
+
+
+def _line(canvas, x1, y1, x2, y2, color) -> None:
+    steps = int(max(abs(x2 - x1), abs(y2 - y1))) + 1
+    for t in range(steps + 1):
+        f = t / steps
+        canvas.set_pixel(int(x1 + (x2 - x1) * f), int(y1 + (y2 - y1) * f), color)
+
+
+def _heatmap(path: str, mat: np.ndarray, q20_row: int, q30_row: int) -> None:
+    """Quality heatmap: rows=qual value (33..104), cols=cycle."""
+    sub = mat[33:105, :]  # visible phred range
+    h, w = sub.shape
+    scale_x, scale_y = 3, 4
+    canvas = Canvas(w * scale_x + 60, h * scale_y + 40)
+    vmax = float(sub.max()) or 1.0
+    norm = (sub.astype(float) / vmax * 255).astype(np.uint8)
+    for r in range(h):
+        for c in range(w):
+            v = int(norm[h - 1 - r, c])
+            if v:
+                canvas.filled_rectangle(40 + c * scale_x, 20 + r * scale_y,
+                                        40 + c * scale_x + scale_x - 1,
+                                        20 + r * scale_y + scale_y - 1,
+                                        (255 - v, 255 - v, 255))
+    for row, color in ((q20_row, (255, 140, 0)), (q30_row, (178, 34, 34))):
+        y = 20 + (h - 1 - (row - 33)) * scale_y
+        canvas.filled_rectangle(40, y, 40 + w * scale_x, y, color)
+    write_png(path, canvas)
+
+
+def run(out_prefix: str, fq1: str, fq2: str | None) -> None:
+    timer = StageTimer()
+    b1 = read_fastq_file(fq1)
+    b2 = read_fastq_file(fq2) if fq2 else None
+    mates = [(1, b1)] + ([(2, b2)] if b2 is not None else [])
+
+    for idx, b in mates:
+        st = mate_stats(b)
+        L = min(st["quality"].shape[0], MAX_LEN)
+        qmat = np.zeros((128, MAX_LEN), dtype=np.int64)
+        qmat[:, :L] = st["quality"][:L, :].T
+        nmat = np.zeros((5, MAX_LEN), dtype=np.int64)
+        nmat[:, :L] = st["ntval"][:L, :].T
+        _write_matrix(f"{out_prefix}_quality_mate{idx}.tsv", qmat)
+        _write_matrix(f"{out_prefix}_nucleotide_mate{idx}.tsv", nmat,
+                      row_names=list(NT_ROWS))
+        with open(f"{out_prefix}_length_mate{idx}.tsv", "w") as f:
+            for i, v in enumerate(st["len_hist"]):
+                if v:
+                    f.write(f"{i + 1}\t{int(v)}\n")
+        gc_hist, _ = np.histogram(st["gc_frac"][:b.n], bins=100, range=(0, 1))
+        with open(f"{out_prefix}_gc_mate{idx}.tsv", "w") as f:
+            f.write(f"#mean_gc\t{float(st['gc_frac'][:b.n].mean()) * 100:.6f}\n")
+            for i, v in enumerate(gc_hist):
+                f.write(f"{i / 100:.2f}\t{int(v)}\n")
+
+        # charts
+        per_cycle = st["quality"][:L, :]
+        tot = per_cycle.sum(axis=1)
+        q20 = per_cycle[:, Q20:].sum(axis=1)
+        q30 = per_cycle[:, Q30:].sum(axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            _chart_lines(f"{out_prefix}_q20q30_mate{idx}.png",
+                         {"Q20": np.where(tot > 0, q20 / np.maximum(tot, 1), 0),
+                          "Q30": np.where(tot > 0, q30 / np.maximum(tot, 1), 0)})
+        _heatmap(f"{out_prefix}_quality_heatmap_mate{idx}.png", qmat, Q20, Q30)
+        _chart_lines(f"{out_prefix}_nucleotide_mate{idx}.png",
+                     {NT_ROWS[r]: nmat[r, :L] for r in range(5)})
+        _chart_lines(f"{out_prefix}_gc_density_mate{idx}.png",
+                     {"GC": gc_hist})
+        _chart_lines(f"{out_prefix}_length_mate{idx}.png",
+                     {"len": st["len_hist"]})
+
+    dups = dup_counts(b1, b2)
+    levels = np.bincount(np.minimum(dups, 100))
+    with open(f"{out_prefix}_duplication.tsv", "w") as f:
+        uniq_pct = (len(dups) / b1.n * 100) if b1.n else 0.0
+        f.write(f"#unique_reads\t{len(dups)}\t{uniq_pct:.3f}%\n")
+        for lvl in range(1, len(levels)):
+            if levels[lvl]:
+                f.write(f"{lvl}\t{int(levels[lvl])}\n")
+    _chart_lines(f"{out_prefix}_duplication.png", {"dup": levels[1:]})
+    timer.log("Finished at %.3f s\n")
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) < 2:
+        sys.stderr.write("Usage: ngstpu fastqc <out_prefix> <fq1> [fq2]\n")
+        return 1
+    run(argv[0], argv[1], argv[2] if len(argv) > 2 else None)
+    return 0

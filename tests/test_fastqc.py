@@ -1,0 +1,54 @@
+import numpy as np
+import pytest
+
+from ngstpu.ops.fastqc import (MAX_LEN, fastqc_stats, fastqc_stats_numpy,
+                               truncated_key)
+from ngstpu.testing.fixtures import random_fastq
+from ngstpu.tools.cli import main as cli_main
+
+
+def _parse(data: bytes):
+    lines = data.split(b"\n")
+    recs = [(lines[i + 1], lines[i + 3]) for i in range(0, len(lines) - 1, 4)]
+    return [r[0] for r in recs], [r[1] for r in recs]
+
+
+def test_stats_vs_numpy_oracle(tmp_path):
+    data = random_fastq(300, read_len=90, var_len=True, with_n=True, seed=80)
+    seqs, quals = _parse(data)
+    q_ref, nt_ref, len_ref, gc_ref = fastqc_stats_numpy(seqs, quals)
+
+    from ngstpu.io.fastq import read_fastq_file
+    p = tmp_path / "x.fq"
+    p.write_bytes(data)
+    b = read_fastq_file(str(p))
+    res = fastqc_stats(np.asarray(b.seq), np.asarray(b.qual),
+                       np.asarray(b.lens), np.int32(b.n))
+    L = res["quality"].shape[0]
+    assert (np.asarray(res["quality"])[:L].T == q_ref[:, :L]).all()
+    assert (np.asarray(res["ntval"])[:L].T == nt_ref[:, :L]).all()
+    assert (np.asarray(res["len_hist"]) == len_ref).all()
+    assert np.allclose(np.asarray(res["gc_frac"])[:b.n], gc_ref, atol=1e-6)
+
+
+def test_truncated_key_rule():
+    seq = np.zeros((3, 128), dtype=np.uint8)
+    seq[:, :100] = ord("A")
+    lens = np.array([100, 75, 40], dtype=np.int32)
+    key, key_lens = truncated_key(seq, lens)
+    assert list(key_lens) == [50, 75, 40]
+
+
+def test_fastqc_cli(tmp_path, monkeypatch):
+    p1 = tmp_path / "r1.fq"
+    p1.write_bytes(random_fastq(200, read_len=80, seed=81, dup_frac=0.3))
+    monkeypatch.chdir(tmp_path)
+    rc = cli_main(["fastqc", "qc", str(p1)])
+    assert rc == 0
+    for sfx in ("_quality_mate1.tsv", "_nucleotide_mate1.tsv",
+                "_length_mate1.tsv", "_gc_mate1.tsv", "_duplication.tsv",
+                "_quality_heatmap_mate1.png", "_nucleotide_mate1.png",
+                "_duplication.png"):
+        f = tmp_path / ("qc" + sfx)
+        assert f.exists() and f.stat().st_size > 0, sfx
+    assert (tmp_path / "qc_quality_heatmap_mate1.png").read_bytes()[:4] == b"\x89PNG"
