@@ -34,6 +34,70 @@ def bytes_to_words(padded: jax.Array) -> jax.Array:
     return (w[..., 0] << 24) | (w[..., 1] << 16) | (w[..., 2] << 8) | w[..., 3]
 
 
+# DNA alphabet rank codes for 3-bit packing: 0 reserved for padding so
+# shorter-prefix rows sort first; ranks follow ASCII order of the bytes
+# ('.' < A < C < G < N < T) so packed-word order == byte-lex order.
+_DNA3_RANK = np.zeros(256, dtype=np.uint8)
+for _i, _c in enumerate(b".ACGNT"):
+    _DNA3_RANK[_c] = _i + 1
+DNA3_ALPHABET = frozenset(b".ACGNT")
+
+
+def seq_words(padded_np: np.ndarray) -> jax.Array:
+    """Collation-preserving sort words for sequence bytes: 3-bit packed
+    (3.3x narrower keys) when the data is plain DNA, raw bytes otherwise."""
+    dev = jnp.asarray(padded_np)
+    if is_dna3_compatible(padded_np, None):
+        return dna3_words(dev)
+    return bytes_to_words(dev)
+
+
+def is_dna3_compatible(padded: np.ndarray, lens: np.ndarray) -> bool:
+    """True if all valid bytes are in the 6-char DNA alphabet (host check)."""
+    present = np.bincount(padded.reshape(-1), minlength=256) > 0
+    ok = np.zeros(256, dtype=bool)
+    ok[0] = True
+    for c in DNA3_ALPHABET:
+        ok[c] = True
+    return bool((~present | ok).all())
+
+
+def dna3_words(padded: jax.Array) -> jax.Array:
+    """[B, L] uint8 DNA -> [B, ceil(L/10)] uint32: ten 3-bit ranks per word.
+
+    3.3x narrower sort keys than raw bytes with identical collation on the
+    {., A, C, G, N, T} alphabet (caller must verify via is_dna3_compatible).
+    """
+    B, L = padded.shape
+    ranks = jnp.zeros(padded.shape, jnp.uint32)
+    for i, c in enumerate(b".ACGNT"):
+        ranks = jnp.where(padded == c, jnp.uint32(i + 1), ranks)
+    groups = (L + 9) // 10
+    pad = groups * 10 - L
+    if pad:
+        ranks = jnp.pad(ranks, ((0, 0), (0, pad)))
+    ranks = ranks.reshape(B, groups, 10)
+    shifts = jnp.arange(27, -3, -3, dtype=jnp.uint32)
+    return jnp.sum(ranks << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
+def _lsd_perm(keys_msf: list[jax.Array]) -> jax.Array:
+    """Stable lexicographic argsort via LSD passes of 2-operand sorts.
+
+    keys_msf: key arrays in most-significant-first order. A wide
+    multi-operand lax.sort compiles pathologically on TPU (the comparator
+    explodes); a chain of stable (key, perm) sorts — least significant key
+    first — compiles linearly and runs at ~7M rows/s for 15 passes.
+    Stability makes the original index the implicit final tiebreaker.
+    """
+    B = keys_msf[0].shape[0]
+    perm = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
+    for key in reversed(keys_msf):
+        k = jnp.take(key, perm)
+        _, perm = jax.lax.sort((k, perm), num_keys=1, is_stable=True)
+    return perm
+
+
 @functools.partial(jax.jit, static_argnames=("length_first",))
 def lex_argsort(words: jax.Array, lens: jax.Array,
                 length_first: bool = False) -> jax.Array:
@@ -43,14 +107,11 @@ def lex_argsort(words: jax.Array, lens: jax.Array,
     length_first). Returns perm int32 [B].
     """
     B, W = words.shape
-    idx = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
     ops = []
     if length_first:
         ops.append(lens)
     ops.extend([words[:, w] for w in range(W)])
-    ops.append(idx)
-    res = jax.lax.sort(tuple(ops), num_keys=len(ops) - 1, is_stable=True)
-    return res[-1]
+    return _lsd_perm(ops)
 
 
 @functools.partial(jax.jit, static_argnames=("length_first",))
@@ -72,8 +133,9 @@ def dedup_sorted(words: jax.Array, lens: jax.Array, sumq: jax.Array,
     idx = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
     valid = idx < n_valid
 
-    # Sort keys: [padding-last sentinel, (len if length_first), words...,
-    # len, -sumQ, idx]. Within an equal-sequence group rows land in
+    # Sort keys (most significant first): [padding-last sentinel,
+    # (len if length_first), words..., len, -sumQ]; stability supplies the
+    # original-index tiebreak. Within an equal-sequence group rows land in
     # (sumQ desc, original idx asc) order, so each group's FIRST sorted row
     # IS the representative the reference keeps (strict > replacement,
     # gzfastq_uniq.c:226) — no 64-bit score packing needed.
@@ -83,9 +145,7 @@ def dedup_sorted(words: jax.Array, lens: jax.Array, sumq: jax.Array,
     ops.extend([words[:, w] for w in range(W)])
     ops.append(lens)
     ops.append(-sumq.astype(jnp.int32))
-    ops.append(idx)
-    res = jax.lax.sort(tuple(ops), num_keys=len(ops))
-    perm = res[-1]
+    perm = _lsd_perm(ops)
 
     s_words = jnp.take(words, perm, axis=0)
     s_lens = jnp.take(lens, perm)

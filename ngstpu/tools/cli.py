@@ -31,6 +31,7 @@ TOOLS = {
     "bam_sliding_count": "ngstpu.tools.bam_sliding_count",
     "bamSplitChr": "ngstpu.tools.bam_split_chr",
     "fastqc": "ngstpu.tools.fastqc",
+    "pipeline": "ngstpu.tools.pipeline",
 }
 
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..io.fastq import format_fastq, read_fastq_file
 from ..io.native import fill_padded
 from ..io.stream import open_output, with_suffix
-from ..ops.sortengine import bytes_to_words, lex_argsort
+from ..ops.sortengine import bytes_to_words, lex_argsort, seq_words
 from ..utils.timing import StageTimer
 
 OUT_CHUNK = 1 << 20
@@ -34,7 +34,7 @@ def emit_permuted(out, batch, perm: np.ndarray) -> None:
 
 
 def sort_perm_by_seq(batch) -> np.ndarray:
-    words = bytes_to_words(jnp.asarray(batch.seq))
+    words = seq_words(batch.seq)
     return np.asarray(lex_argsort(words, jnp.asarray(batch.lens),
                                   length_first=True))
 

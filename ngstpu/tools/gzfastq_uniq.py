@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ..io.fastq import format_fastq, read_fastq_file
 from ..io.native import concat_pairs
 from ..io.stream import open_output, with_suffix
-from ..ops.sortengine import bytes_to_words, dedup_sorted, sum_quality
+from ..ops.sortengine import dedup_sorted, seq_words, sum_quality
 from ..utils.timing import StageTimer
 
 OUT_CHUNK = 1 << 20
@@ -42,7 +42,7 @@ def dedup_device(seq_padded: np.ndarray, lens: np.ndarray,
                  sumq: jnp.ndarray):
     """Run the device dedup; returns host arrays (heads in key-sorted order):
     (rep_idx, counts, n_groups)."""
-    words = bytes_to_words(jnp.asarray(seq_padded))
+    words = seq_words(seq_padded)
     res = dedup_sorted(words, jnp.asarray(lens), sumq,
                        jnp.int32(len(lens)), length_first=False)
     is_head = np.asarray(res["is_head"])

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..io.fastq import read_fastq_file
 from ..io.stream import open_output, with_suffix
-from ..ops.sortengine import bytes_to_words, dedup_sorted
+from ..ops.sortengine import dedup_sorted, seq_words
 from ..utils.timing import StageTimer
 
 
@@ -45,7 +45,7 @@ def main(argv: list[str]) -> int:
 
     batch = read_fastq_file(read1)
     n = batch.n
-    words = bytes_to_words(jnp.asarray(batch.seq))
+    words = seq_words(batch.seq)
     # sumq=0 -> members ordered by input index within each group
     res = dedup_sorted(words, jnp.asarray(batch.lens),
                        jnp.zeros(n, jnp.uint32), jnp.int32(n),

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..io.fastq import format_fastq, read_fastq_file
 from ..io.native import concat_pairs, fill_padded
 from ..io.stream import GzipRecordWriter
-from ..ops.sortengine import bytes_to_words, dedup_sorted
+from ..ops.sortengine import dedup_sorted, seq_words
 from ..utils.timing import StageTimer
 
 OUT_CHUNK = 1 << 20
@@ -78,7 +78,7 @@ def main(argv: list[str]) -> int:
     else:
         key, key_lens = b1.seq, b1.lens
 
-    words = bytes_to_words(jnp.asarray(key))
+    words = seq_words(key)
     res = dedup_sorted(words, jnp.asarray(key_lens),
                        jnp.zeros(len(key_lens), jnp.uint32),
                        jnp.int32(n), length_first=False)

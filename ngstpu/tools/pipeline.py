@@ -1,0 +1,89 @@
+"""pipeline: fused count + trim + uniq over a single pass of the input.
+
+The reference runs fastq_count, fastq_trim and gzfastq_uniq as three
+processes, each re-reading (and re-decompressing) the file. The TPU-native
+pipeline parses once, keeps the padded batch resident, and runs the QC
+histogram, the trim slice and the dedup sort as one device schedule —
+outputs are identical to running the three tools separately.
+
+Usage: ngstpu pipeline -i in.fq -o prefix [-s start] [-e end]
+Outputs: {prefix}.count.tsv, {prefix}.trim.fastq, {prefix}_uniq.fq,
+{prefix}_sortKeyUniq.fq.
+"""
+
+from __future__ import annotations
+
+import getopt
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..io.fastq import format_fastq, read_fastq_file
+from ..io.stream import open_output
+from ..ops.count import QCAccumulator
+from ..ops.sortengine import sum_quality
+from ..utils.padding import bucket_rows, pad_rows
+from ..utils.timing import StageTimer
+from .fastq_count import _row
+from .fastq_trim import trim_batch
+from .gzfastq_uniq import _emit, dedup_device
+
+
+def run(infile: str, prefix: str, start: int, end: int,
+        timer: StageTimer | None = None) -> dict:
+    timer = timer or StageTimer()
+    batch = read_fastq_file(infile)
+    timer.checkpoint("parse")
+
+    # 1) count (device histograms, device-resident accumulate)
+    acc = QCAccumulator()
+    b = bucket_rows(batch.n)
+    acc.add_batch(pad_rows(batch.qual, b), pad_rows(batch.lens, b), batch.n)
+
+    # 2) uniq (device sort) — dispatched before host-side trim writing so
+    # the TPU works while the host formats text
+    sumq = sum_quality(jnp.asarray(batch.qual), jnp.asarray(batch.lens))
+    rep, counts, n_groups = dedup_device(batch.seq, batch.lens, sumq)
+    timer.checkpoint("device")
+
+    # 3) trim (host slice + write)
+    seq_t, qual_t, lens_t = trim_batch(batch, start, end)
+    with open(prefix + ".trim.fastq", "wb") as out:
+        out.write(format_fastq(batch.names, batch.name_starts, batch.name_lens,
+                               seq_t, qual_t, lens_t))
+    timer.checkpoint("trim_write")
+
+    with open(prefix + ".count.tsv", "w") as out:
+        out.write(_row(infile, acc))
+
+    with open(prefix + "_uniq.fq", "wb") as out:
+        _emit(out, batch, rep, counts)
+    with open(prefix + "_sortKeyUniq.fq", "wb") as out:
+        _emit(out, batch, rep, counts)
+    timer.checkpoint("uniq_write")
+    return dict(n=batch.n, n_groups=n_groups,
+                stages=dict(timer.stages))
+
+
+def main(argv: list[str]) -> int:
+    timer = StageTimer()
+    infile, prefix, start, end = "-", "out", 0, 400
+    opts, _ = getopt.gnu_getopt(argv, "i:o:s:e:h?")
+    for flag, val in opts:
+        if flag == "-i":
+            infile = val
+        elif flag == "-o":
+            prefix = val
+        elif flag == "-s":
+            start = int(val)
+        elif flag == "-e":
+            end = int(val)
+        elif flag in ("-h", "-?"):
+            sys.stderr.write(
+                "Usage: ngstpu pipeline -i in.fq -o prefix [-s start] [-e end]\n")
+            return 1
+    info = run(infile, prefix, start, end, timer)
+    sys.stderr.write(f"reads: {info['n']}\nunique: {info['n_groups']}\n")
+    timer.log("Finished at %.3f s\n")
+    return 0

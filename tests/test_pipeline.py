@@ -1,0 +1,28 @@
+import pytest
+
+from ngstpu.testing.fixtures import random_fastq
+from ngstpu.testing.oracles import run_oracle
+from ngstpu.tools.cli import main as cli_main
+
+
+def test_pipeline_outputs_match_individual_tools(tmp_path):
+    data = random_fastq(600, read_len=100, seed=90, dup_frac=0.4)
+    p = tmp_path / "in.fq"
+    p.write_bytes(data)
+    rc = cli_main(["pipeline", "-i", str(p), "-o", str(tmp_path / "pl"),
+                   "-s", "0", "-e", "50"])
+    assert rc == 0
+
+    ref_t = run_oracle("fastq_trim", ["-i", str(p), "-s", "0", "-e", "50",
+                                      "-o", str(tmp_path / "rt")], cwd=str(tmp_path))
+    ref_u = run_oracle("gzfastq_uniq", ["-1", str(p), "-o",
+                                        str(tmp_path / "ru")], cwd=str(tmp_path))
+    ref_c = run_oracle("fastq_count", [str(p)], cwd=str(tmp_path))
+    if None in (ref_t, ref_u, ref_c):
+        pytest.skip("no C toolchain")
+    assert (tmp_path / "pl.trim.fastq").read_bytes() == \
+        (tmp_path / "rt.trim.fastq").read_bytes()
+    assert (tmp_path / "pl_sortKeyUniq.fq").read_bytes() == \
+        (tmp_path / "ru_sortKeyUniq.fq").read_bytes()
+    count_row = (tmp_path / "pl.count.tsv").read_text()
+    assert count_row.split("\t")[1:] == ref_c.stdout.decode().split("\t")[1:]
