@@ -132,38 +132,78 @@ def _parse_chunk(data: np.ndarray, keep_plus: bool, pad_to: int,
 
 
 class FastqChunkReader:
-    """Stream a FASTQ file (plain or gzip, '-'=stdin) as padded batches."""
+    """Stream a FASTQ file (plain or gzip, '-'=stdin) as padded batches.
+
+    A producer thread performs the read+gzip-inflate (zlib releases the GIL)
+    while the consumer parses the previous chunk — the kt_pipeline
+    read/compute overlap of the reference (klib kthread.c:83-143) in
+    double-buffered form. Disable with threaded=False.
+    """
 
     def __init__(self, path: str | None, chunk_bytes: int = DEFAULT_CHUNK_BYTES,
                  keep_plus: bool = False, pad_to: int = 128,
-                 need: tuple[str, ...] = ("seq", "qual", "names")):
+                 need: tuple[str, ...] = ("seq", "qual", "names"),
+                 threaded: bool = True):
         self.path = path
         self.chunk_bytes = chunk_bytes
         self.keep_plus = keep_plus
         self.pad_to = pad_to
         self.need = frozenset(need)
+        self.threaded = threaded
 
-    def __iter__(self) -> Iterator[FastqBatch]:
+    def _chunks(self) -> Iterator[bytes]:
         stream = open_input(self.path)
-        tail = b""
         try:
-            while True:
-                data = stream.read(self.chunk_bytes)
-                if not data:
-                    if tail:
-                        if not tail.endswith(b"\n"):
-                            tail += b"\n"  # tolerate missing final newline
-                        yield _parse_chunk(np.frombuffer(tail, dtype=np.uint8),
-                                           self.keep_plus, self.pad_to, self.need)
-                    return
-                buf = tail + data if tail else data
-                cut = _record_boundary(buf)
-                tail = buf[cut:]
-                if cut:
-                    yield _parse_chunk(np.frombuffer(buf[:cut], dtype=np.uint8),
-                                       self.keep_plus, self.pad_to, self.need)
+            if not self.threaded:
+                while True:
+                    data = stream.read(self.chunk_bytes)
+                    if not data:
+                        return
+                    yield data
+            else:
+                import queue
+                import threading
+
+                q: "queue.Queue[bytes | None | Exception]" = queue.Queue(maxsize=2)
+
+                def produce():
+                    try:
+                        while True:
+                            d = stream.read(self.chunk_bytes)
+                            if not d:
+                                q.put(None)
+                                return
+                            q.put(d)
+                    except Exception as e:  # surface in consumer
+                        q.put(e)
+
+                t = threading.Thread(target=produce, daemon=True)
+                t.start()
+                while True:
+                    item = q.get()
+                    if item is None:
+                        t.join()
+                        return
+                    if isinstance(item, Exception):
+                        raise item
+                    yield item
         finally:
             stream.close()
+
+    def __iter__(self) -> Iterator[FastqBatch]:
+        tail = b""
+        for data in self._chunks():
+            buf = tail + data if tail else data
+            cut = _record_boundary(buf)
+            tail = buf[cut:]
+            if cut:
+                yield _parse_chunk(np.frombuffer(buf[:cut], dtype=np.uint8),
+                                   self.keep_plus, self.pad_to, self.need)
+        if tail:
+            if not tail.endswith(b"\n"):
+                tail += b"\n"  # tolerate missing final newline
+            yield _parse_chunk(np.frombuffer(tail, dtype=np.uint8),
+                               self.keep_plus, self.pad_to, self.need)
 
 
 def _record_boundary(buf: bytes) -> int:

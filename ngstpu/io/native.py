@@ -86,6 +86,12 @@ def get_lib() -> ctypes.CDLL | None:
         lib.ngs_gzip_decompress_blocks.restype = _int
         lib.ngs_gzip_decompress_blocks.argtypes = [
             _p_u8, _p_i64, _p_i64, _i64, _p_u8, _p_i64, _p_i64, _p_i64, _int]
+        lib.ngs_dna3_pack.argtypes = [
+            _p_u8, _i64, _i64, _i64,
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"), _int]
+        lib.ngs_row_sums_u32.argtypes = [
+            _p_u8, _i64, _i64,
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"), _int]
         lib.ngs_bam_count.restype = _int
         lib.ngs_bam_count.argtypes = [_p_u8, _i64, ctypes.POINTER(_i64),
                                       ctypes.POINTER(_i64)]

@@ -296,6 +296,52 @@ int ngs_gzip_decompress_blocks(const uint8_t* data, const int64_t* block_starts,
     return err.load();
 }
 
+// 3-bit DNA rank packing for device sort keys (ranks . A C G N T = 1..6,
+// 0 = padding; ten ranks per uint32, first rank most significant). Doing
+// this on the host cuts device transfers 2.5x vs raw bytes.
+void ngs_dna3_pack(const uint8_t* seq, int64_t b, int64_t lmax,
+                   int64_t words, uint32_t* out, int nthreads) {
+    static uint8_t rank[256];
+    static bool init = false;
+    if (!init) {
+        memset(rank, 0, sizeof(rank));
+        const char* alpha = ".ACGNT";
+        for (int i = 0; i < 6; ++i) rank[(uint8_t)alpha[i]] = i + 1;
+        init = true;
+    }
+    if (nthreads <= 0) nthreads = hw_threads();
+    parallel_ranges(b, nthreads, [&](int64_t lo, int64_t hi, int) {
+        for (int64_t i = lo; i < hi; ++i) {
+            const uint8_t* row = seq + i * lmax;
+            uint32_t* o = out + i * words;
+            int64_t pos = 0;
+            for (int64_t w = 0; w < words; ++w) {
+                uint32_t acc = 0;
+                for (int k = 0; k < 10; ++k, ++pos) {
+                    uint32_t r = (pos < lmax) ? rank[row[pos]] : 0;
+                    acc = (acc << 3) | r;
+                }
+                o[w] = acc;
+            }
+        }
+    });
+}
+
+// Per-row byte sums (quality sums for dedup representative selection);
+// padding bytes are zero so no mask is needed.
+void ngs_row_sums_u32(const uint8_t* data, int64_t b, int64_t lmax,
+                      uint32_t* out, int nthreads) {
+    if (nthreads <= 0) nthreads = hw_threads();
+    parallel_ranges(b, nthreads, [&](int64_t lo, int64_t hi, int) {
+        for (int64_t i = lo; i < hi; ++i) {
+            const uint8_t* row = data + i * lmax;
+            uint32_t s = 0;
+            for (int64_t k = 0; k < lmax; ++k) s += row[k];
+            out[i] = s;
+        }
+    });
+}
+
 // ---------------------------------------------------------------------------
 // BAM record scanning (columnar decode)
 //

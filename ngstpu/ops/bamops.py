@@ -53,6 +53,48 @@ def cigar_m_events(cols, rec_mask: np.ndarray):
     return tids.astype(np.int32), starts.astype(np.int32), ends.astype(np.int32)
 
 
+def ref_span(cols) -> np.ndarray:
+    """Per-record reference span (bam_calend - pos): sum of M/D/N/=/X op
+    lengths (samtools bam.h bam_calend semantics)."""
+    R = cols.n
+    if R == 0:
+        return np.zeros(0, np.int64)
+    op = cols.cigar_op
+    ln = cols.cigar_len.astype(np.int64)
+    consumes = ((op == 0) | (op == 2) | (op == 3) | (op == 7) | (op == 8))
+    w = np.where(consumes, ln, 0)
+    csum = np.concatenate([[0], np.cumsum(w)])
+    lo = cols.cigar_offset.astype(np.int64)
+    hi = lo + cols.n_cigar.astype(np.int64)
+    return csum[hi] - csum[lo]
+
+
+def parse_region(header, region: str) -> tuple[int, int, int]:
+    """samtools bam_parse_region: "chr", "chr:beg", "chr:beg-end"
+    (1-based inclusive input -> 0-based half-open)."""
+    name, _, rest = region.partition(":")
+    try:
+        ref = header.ref_names.index(name)
+    except ValueError:
+        return -1, 0, 0
+    beg, end = 0, 1 << 29
+    if rest:
+        b, _, e = rest.partition("-")
+        if b:
+            beg = max(int(b.replace(",", "")) - 1, 0)
+        if e:
+            end = int(e.replace(",", ""))
+    return ref, beg, end
+
+
+def region_mask(cols, ref: int, beg: int, end: int) -> np.ndarray:
+    """Records a bam_fetch over [beg,end) of `ref` would visit: overlap by
+    alignment span."""
+    spans = ref_span(cols)
+    endpos = cols.pos.astype(np.int64) + np.maximum(spans, 1)
+    return (cols.tid == ref) & (cols.pos < end) & (endpos > beg)
+
+
 @jax.jit
 def sparse_pileup_sweep(pos: jax.Array, delta: jax.Array, n_valid: jax.Array):
     """Sort events and return per-event (sorted_pos, cumulative_depth,

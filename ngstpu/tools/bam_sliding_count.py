@@ -31,9 +31,18 @@ from ..utils.png import Canvas, write_png
 from ..utils.timing import StageTimer
 
 
-def accumulate(header, cols, window: int):
+def accumulate(header, cols, window: int, region: str | None = None):
     """Returns per-chrom dict: tid -> (bins u32, gc_sums i64, len_sums i64)."""
     mask = (cols.tid >= 0) & ((cols.flag & FUNMAP) == 0)
+    if region:
+        from ..ops.bamops import parse_region, region_mask
+
+        ref, beg, end = parse_region(header, region)
+        if ref < 0:
+            sys.stderr.write(f"bam2bed: Invalid region {region}\n")
+            raise SystemExit(1)
+        sys.stdout.write(f"{header.ref_names[ref]}\t{beg}\t{end}\n")
+        mask = mask & region_mask(cols, ref, beg, end)
     tid = cols.tid[mask]
     pos = cols.pos[mask]
     gc = cols.gc[mask]
@@ -60,9 +69,9 @@ def f32_seq_sum(arr: np.ndarray) -> np.float32:
 
 
 def process(path: str, window: int, outfile_rows: list, header_state: dict,
-            timer: StageTimer) -> None:
+            timer: StageTimer, region: str | None = None) -> None:
     header, cols = read_bam(path)
-    by_tid, total = accumulate(header, cols, window)
+    by_tid, total = accumulate(header, cols, window, region)
     sys.stderr.write(f"Done load bam file {path} at {timer.elapsed():.3f} s\n")
 
     max_target_window = max(header.ref_lens) // window + 1 if header.ref_lens else 0
@@ -153,13 +162,11 @@ def main(argv: list[str]) -> int:
     if not files:
         _usage()
         return 1
-    if region and region != "-":
-        sys.stderr.write("region mode not yet implemented; processing whole file\n")
-
     rows: list[str] = []
     header_state: dict = {}
+    reg = region if (region and region != "-") else None
     for path in files:
-        process(path, window, rows, header_state, timer)
+        process(path, window, rows, header_state, timer, reg)
 
     with open(outfile + ".txt", "wb") as out:
         max_w = header_state.get("max_window", 0)

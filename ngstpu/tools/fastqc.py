@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..io.fastq import read_fastq_file
 from ..io.native import concat_pairs
 from ..ops.fastqc import MAX_LEN, fastqc_stats, truncated_key
-from ..ops.sortengine import dedup_sorted, seq_words
+from ..ops.sortengine import dedup_groups, seq_words
 from ..utils.png import Canvas, write_png
 from ..utils.timing import StageTimer
 
@@ -45,12 +45,10 @@ def dup_counts(b1, b2=None) -> np.ndarray:
         key_lens = (l1.astype(np.int64) + l2.astype(np.int64)).astype(np.int32)
     else:
         key, key_lens = k1, l1
-    res = dedup_sorted(seq_words(key), jnp.asarray(key_lens),
-                       jnp.zeros(len(key_lens), jnp.uint32),
-                       jnp.int32(len(key_lens)), length_first=False)
-    is_head = np.asarray(res["is_head"])
-    counts = np.asarray(res["group_count"])[is_head]
-    return np.sort(counts)[::-1]
+    g = dedup_groups(seq_words(key), jnp.asarray(key_lens),
+                     jnp.zeros(len(key_lens), jnp.uint32), len(key_lens),
+                     length_first=False)
+    return np.sort(g["counts"])[::-1]
 
 
 def _write_matrix(path: str, mat: np.ndarray, row_names=None,

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ..io.fastq import format_fastq, read_fastq_file
 from ..io.native import concat_pairs
 from ..io.stream import open_output, with_suffix
-from ..ops.sortengine import dedup_sorted, seq_words, sum_quality
+from ..ops.sortengine import dedup_groups, seq_words, sum_quality_host
 from ..utils.timing import StageTimer
 
 OUT_CHUNK = 1 << 20
@@ -43,12 +43,9 @@ def dedup_device(seq_padded: np.ndarray, lens: np.ndarray,
     """Run the device dedup; returns host arrays (heads in key-sorted order):
     (rep_idx, counts, n_groups)."""
     words = seq_words(seq_padded)
-    res = dedup_sorted(words, jnp.asarray(lens), sumq,
-                       jnp.int32(len(lens)), length_first=False)
-    is_head = np.asarray(res["is_head"])
-    rep = np.asarray(res["rep_idx"])[is_head]
-    counts = np.asarray(res["group_count"])[is_head]
-    return rep, counts, int(np.asarray(res["n_groups"]))
+    g = dedup_groups(words, jnp.asarray(lens), sumq, len(lens),
+                     length_first=False)
+    return g["rep"], g["counts"], g["n_groups"]
 
 
 def _emit(out, batch, rep: np.ndarray, counts: np.ndarray,
@@ -66,7 +63,7 @@ def _emit(out, batch, rep: np.ndarray, counts: np.ndarray,
 
 def run_se(read1: str, outfile: str, timer: StageTimer) -> None:
     batch = read_fastq_file(read1)
-    sumq = sum_quality(jnp.asarray(batch.qual), jnp.asarray(batch.lens))
+    sumq = jnp.asarray(sum_quality_host(batch.qual))
     rep, counts, n_groups = dedup_device(batch.seq, batch.lens, sumq)
     n = batch.n
     sys.stderr.write(
@@ -97,8 +94,8 @@ def run_pe(read1: str, read2: str, outfile: str, timer: StageTimer) -> None:
     lmax12 = _pad4(int(b1.seq.shape[1]) + int(b2.seq.shape[1]))
     key = concat_pairs(b1.seq[:n], b1.lens[:n], b2.seq[:n], b2.lens[:n], lmax12)
     key_lens = (b1.lens[:n].astype(np.int64) + b2.lens[:n].astype(np.int64)).astype(np.int32)
-    sumq = (sum_quality(jnp.asarray(b1.qual[:n]), jnp.asarray(b1.lens[:n]))
-            + sum_quality(jnp.asarray(b2.qual[:n]), jnp.asarray(b2.lens[:n])))
+    sumq = jnp.asarray(sum_quality_host(np.ascontiguousarray(b1.qual[:n]))
+                       + sum_quality_host(np.ascontiguousarray(b2.qual[:n])))
     rep, counts, n_groups = dedup_device(key, key_lens, sumq)
     sys.stderr.write(
         f"unique reads number = {n_groups}({n_groups} / {n} = "

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..io.fastq import read_fastq_file
 from ..io.stream import open_output, with_suffix
-from ..ops.sortengine import dedup_sorted, seq_words
+from ..ops.sortengine import dedup_groups, seq_words
 from ..utils.timing import StageTimer
 
 
@@ -47,20 +47,17 @@ def main(argv: list[str]) -> int:
     n = batch.n
     words = seq_words(batch.seq)
     # sumq=0 -> members ordered by input index within each group
-    res = dedup_sorted(words, jnp.asarray(batch.lens),
-                       jnp.zeros(n, jnp.uint32), jnp.int32(n),
-                       length_first=False)
-    perm = np.asarray(res["perm"])
-    is_head = np.asarray(res["is_head"])
-    counts_row = np.asarray(res["group_count"])
-    n_groups = int(np.asarray(res["n_groups"]))
+    g = dedup_groups(words, jnp.asarray(batch.lens),
+                     jnp.zeros(n, jnp.uint32), n, length_first=False)
+    perm = g["perm"]
+    n_groups = g["n_groups"]
     sys.stderr.write(
         f"unique reads number = {n_groups}({n_groups} / {n} = "
         f"{100.0 * n_groups / n:.3f}%)\n" if n else "")
     timer.log("Finished load hash at %.3f s\n")
 
-    head_pos = np.flatnonzero(is_head)            # [G] sorted-row index
-    counts = counts_row[head_pos]
+    head_pos = g["head_pos"]                      # [G] sorted-row index
+    counts = g["counts"]
     if not sort_by_seq:
         order = np.argsort(-counts.astype(np.int64), kind="stable")
     else:

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..io.fastq import format_fastq, read_fastq_file
 from ..io.native import concat_pairs, fill_padded
 from ..io.stream import GzipRecordWriter
-from ..ops.sortengine import dedup_sorted, seq_words
+from ..ops.sortengine import dedup_groups, seq_words
 from ..utils.timing import StageTimer
 
 OUT_CHUNK = 1 << 20
@@ -79,13 +79,10 @@ def main(argv: list[str]) -> int:
         key, key_lens = b1.seq, b1.lens
 
     words = seq_words(key)
-    res = dedup_sorted(words, jnp.asarray(key_lens),
-                       jnp.zeros(len(key_lens), jnp.uint32),
-                       jnp.int32(n), length_first=False)
-    is_head = np.asarray(res["is_head"])
-    rep = np.asarray(res["rep_idx"])[is_head]
-    counts = np.asarray(res["group_count"])[is_head]
-    n_groups = int(np.asarray(res["n_groups"]))
+    g = dedup_groups(words, jnp.asarray(key_lens),
+                     jnp.zeros(len(key_lens), jnp.uint32), n,
+                     length_first=False)
+    rep, counts, n_groups = g["rep"], g["counts"], g["n_groups"]
     sys.stderr.write(f"unique reads number = {n_groups}\n")
     timer.log("Finished load hash at %.3f s\n")
     sys.stderr.write(f"total reads = {n}\n")

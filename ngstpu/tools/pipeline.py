@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..io.fastq import format_fastq, read_fastq_file
 from ..io.stream import open_output
 from ..ops.count import QCAccumulator
-from ..ops.sortengine import sum_quality
+from ..ops.sortengine import sum_quality_host
 from ..utils.padding import bucket_rows, pad_rows
 from ..utils.timing import StageTimer
 from .fastq_count import _row
@@ -43,7 +43,7 @@ def run(infile: str, prefix: str, start: int, end: int,
 
     # 2) uniq (device sort) — dispatched before host-side trim writing so
     # the TPU works while the host formats text
-    sumq = sum_quality(jnp.asarray(batch.qual), jnp.asarray(batch.lens))
+    sumq = jnp.asarray(sum_quality_host(batch.qual))
     rep, counts, n_groups = dedup_device(batch.seq, batch.lens, sumq)
     timer.checkpoint("device")
 
