@@ -58,3 +58,65 @@ def test_graft_dryrun_entrypoints():
     out = jax.jit(fn).lower(*args).compile()
     assert out is not None
     mod.dryrun_multichip(8)
+
+
+def test_shard_assignment_deterministic(tmp_path):
+    from ngstpu.parallel.multihost import assign_shards
+
+    paths = []
+    for i, size in enumerate([100, 5000, 300, 4000, 50, 2000]):
+        p = tmp_path / f"f{i}.fq"
+        p.write_bytes(b"x" * size)
+        paths.append(str(p))
+    all_assigned = []
+    for rank in range(3):
+        mine = assign_shards(paths, rank=rank, world=3)
+        all_assigned.extend(mine)
+    # partition: disjoint and complete
+    assert sorted(all_assigned) == sorted(paths)
+    # balanced: biggest files spread across ranks
+    sizes = {p: (tmp_path / p.split("/")[-1]).stat().st_size for p in paths}
+    loads = [sum(sizes[p] for p in assign_shards(paths, rank=r, world=3))
+             for r in range(3)]
+    assert max(loads) <= 2.5 * (sum(loads) / 3)
+
+
+def test_allreduce_stats_single_process():
+    from ngstpu.parallel.multihost import allreduce_stats
+
+    a = {"q": np.arange(12).reshape(3, 4)}
+    out = allreduce_stats(a)
+    assert (out["q"] == a["q"]).all()
+
+
+def test_distributed_dedup_matches_local():
+    import jax.numpy as jnp
+    from ngstpu.ops.sortengine import dedup_groups, seq_words
+    from ngstpu.parallel.dsort import distributed_dedup
+
+    rng = np.random.default_rng(3)
+    B, L = 4096, 40
+    # force heavy duplication
+    pool = rng.integers(0, 4, (500, L))
+    seq = np.frombuffer(b"ACGT", dtype=np.uint8)[
+        pool[rng.integers(0, 500, B)]].reshape(B, L)
+    seq = np.ascontiguousarray(seq)
+    pad = np.zeros((B, 40), np.uint8)
+    padded = np.concatenate([seq, pad], axis=1)  # L=80 padded
+    lens = np.full(B, L, np.int32)
+    sumq = rng.integers(0, 4000, B).astype(np.uint32)
+
+    words = np.asarray(seq_words(padded))
+    g = dedup_groups(jnp.asarray(words), jnp.asarray(lens),
+                     jnp.asarray(sumq), B)
+    mesh = make_mesh(8)
+    keys, klens, counts = distributed_dedup(mesh, words, lens, sumq)
+    assert len(counts) == g["n_groups"]
+    assert counts.sum() == B
+    # same multiset of (key, count)
+    local_keys = words[g["rep"]]
+    local_counts = g["counts"]
+    a = sorted((tuple(k), c) for k, c in zip(local_keys.tolist(),
+                                            local_counts.tolist()))
+    b = sorted((tuple(k), c) for k, c in zip(keys.tolist(), counts.tolist()))
+    assert a == b
