@@ -86,6 +86,9 @@ def get_lib() -> ctypes.CDLL | None:
         lib.ngs_gzip_decompress_blocks.restype = _int
         lib.ngs_gzip_decompress_blocks.argtypes = [
             _p_u8, _p_i64, _p_i64, _i64, _p_u8, _p_i64, _p_i64, _p_i64, _int]
+        lib.ngs_mrle_encode_rows.restype = _i64
+        lib.ngs_mrle_encode_rows.argtypes = [_p_u8, _p_i32, _i64, _i64,
+                                             _p_u8, _p_i32]
         lib.ngs_dna3_pack.argtypes = [
             _p_u8, _i64, _i64, _i64,
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"), _int]

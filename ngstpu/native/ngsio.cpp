@@ -296,6 +296,80 @@ int ngs_gzip_decompress_blocks(const uint8_t* data, const int64_t* block_starts,
     return err.load();
 }
 
+// ---------------------------------------------------------------------------
+// mrle quality RLE codec (bit-exact port of gzfastq_mrle.c:47-115)
+// Batch API: encode each row of a padded quality matrix; outputs are
+// length-prefixed (1 byte, truncated like the reference's fwrite of an int
+// as unsigned char) streams concatenated into `out`.
+// ---------------------------------------------------------------------------
+
+static const uint8_t MRLE_TABLE_INIT[6] = {'#', '/', '7', '<', 'B', 'F'};
+
+static int mrle_encode_one(const uint8_t* q, int n, uint8_t* out,
+                           const uint8_t* table) {
+    long long t[8] = {0};
+    long long run = 0;
+    int pc = -1;
+    for (int i = 0; i < n; ++i) {
+        int c = q[i];
+        if (c == pc) {
+            ++run;
+            t[table[c]] += (run % 255) != 0;
+        } else {
+            --t[table[c]];
+            run = 0;
+        }
+        pc = c;
+    }
+    uint8_t* op = out;
+    int maskv = 0;
+    for (int j = 0; j < 8; ++j) maskv += (t[j] > 0) << j;
+    *op++ = (uint8_t)maskv;
+    run = 0;
+    pc = -1;
+    for (int i = 0; i <= n; ++i) {
+        int c = (i < n) ? q[i] : -1;
+        if (c == pc) {
+            ++run;
+        } else if (run > 0 && t[table[(uint8_t)pc]] > 0) {
+            *op++ = (uint8_t)pc;
+            for (; run > 255; run -= 255) *op++ = 255;
+            *op++ = (uint8_t)(run - 1);
+            run = 1;
+        } else {
+            for (++run; run > 1; --run) *op++ = (uint8_t)pc;
+        }
+        pc = c;
+    }
+    return (int)(op - out);
+}
+
+// rows: padded [b, lmax] with per-row lens; out sized >= sum(2*len+2).
+// out_lens[i] receives each encoded length (pre-truncation); the stream in
+// `out` is lenbyte+payload per record. Returns total bytes, or -1 if a
+// quality byte falls outside the 6-symbol alphabet (reference UB).
+int64_t ngs_mrle_encode_rows(const uint8_t* rows, const int32_t* lens,
+                             int64_t b, int64_t lmax, uint8_t* out,
+                             int32_t* out_lens) {
+    uint8_t table[256];
+    memset(table, 255, sizeof(table));
+    for (int i = 0; i < 6; ++i) table[MRLE_TABLE_INIT[i]] = (uint8_t)i;
+    uint8_t* op = out;
+    for (int64_t i = 0; i < b; ++i) {
+        const uint8_t* q = rows + i * lmax;
+        int n = lens[i];
+        for (int k = 0; k < n; ++k) {
+            if (table[q[k]] == 255) return -1;
+        }
+        uint8_t* lenbyte = op++;
+        int enc = mrle_encode_one(q, n, op, table);
+        *lenbyte = (uint8_t)(enc & 0xFF);
+        op += enc;
+        out_lens[i] = enc;
+    }
+    return op - out;
+}
+
 // 3-bit DNA rank packing for device sort keys (ranks . A C G N T = 1..6,
 // 0 = padding; ten ranks per uint32, first rank most significant). Doing
 // this on the host cuts device transfers 2.5x vs raw bytes.

@@ -43,7 +43,37 @@ def main(argv: list[str]) -> int:
     suffix = "_sort_by_name.fq" if (by_name and not by_seq) else "_sort_by_seq.fq"
     out = open_output(with_suffix(outfile, suffix))
     n = 0
+    from ..io.native import get_lib
+    lib = get_lib()
+    import numpy as np
     for batch in FastqChunkReader(infile):
+        if lib is not None and batch.n:
+            # native batch encode; the stdout self-check round-trips the
+            # ORIGINAL qualities (the reference decodes its own encoding,
+            # which is lossless, so the bytes are identical)
+            enc_buf = np.empty(int(2 * batch.lens.sum() + 2 * batch.n + 16),
+                               dtype=np.uint8)
+            enc_lens = np.empty(batch.n, dtype=np.int32)
+            total = lib.ngs_mrle_encode_rows(
+                np.ascontiguousarray(batch.qual),
+                np.ascontiguousarray(batch.lens, np.int32),
+                batch.n, batch.qual.shape[1], enc_buf, enc_lens)
+            if total >= 0:
+                from ..io.ragged import flatten_ragged
+                flat_q = flatten_ragged(batch.qual, batch.lens)
+                # interleave: qual + \n per record
+                sizes = batch.lens.astype(np.int64) + 1
+                starts = np.zeros(batch.n, np.int64)
+                np.cumsum(sizes[:-1], out=starts[1:])
+                txt = np.full(int(sizes.sum()), 0x0A, dtype=np.uint8)
+                from ..io.ragged import ragged_arange
+                dest = np.repeat(starts, batch.lens.astype(np.int64)) + \
+                    ragged_arange(batch.lens.astype(np.int64))
+                txt[dest] = flat_q
+                sys.stdout.buffer.write(txt.tobytes())
+                out.write(enc_buf[:total].tobytes())
+                n += batch.n
+                continue
         for i in range(batch.n):
             q = batch.qual_bytes(i)
             enc = mrle_encode(q)

@@ -70,17 +70,23 @@ def run_se(read1: str, outfile: str, timer: StageTimer) -> None:
         f"unique reads number = {n_groups}({n_groups} / {n} = "
         f"{100.0 * n_groups / n:.3f}%)\n" if n else "")
     timer.log("Finished load hash at %.3f s\n")
-    out = open_output(with_suffix(outfile, "_uniq.fq"))
-    _emit(out, batch, rep, counts)
-    if out is not sys.stdout.buffer:
-        out.close()
-    # sorted-key dump: same order (we already emit key-sorted)
-    out2 = open_output(with_suffix(outfile, "_sortKeyUniq.fq"))
-    _emit(out2, batch, rep, counts)
-    if out2 is not sys.stdout.buffer:
-        out2.close()
-    else:
-        out2.flush()
+    # both outputs carry identical records in identical (key-sorted) order:
+    # format once, write twice
+    chunks: list[bytes] = []
+
+    class _Sink:
+        def write(self, data):
+            chunks.append(data)
+
+    _emit(_Sink(), batch, rep, counts)
+    for suffix in ("_uniq.fq", "_sortKeyUniq.fq"):
+        out = open_output(with_suffix(outfile, suffix))
+        for c in chunks:
+            out.write(c)
+        if out is not sys.stdout.buffer:
+            out.close()
+        else:
+            out.flush()
 
 
 def run_pe(read1: str, read2: str, outfile: str, timer: StageTimer) -> None:

@@ -32,35 +32,57 @@ from .gzfastq_uniq import _emit, dedup_device
 
 def run(infile: str, prefix: str, start: int, end: int,
         timer: StageTimer | None = None) -> dict:
+    from ..ops.sortengine import dedup_groups, seq_words
+
     timer = timer or StageTimer()
     batch = read_fastq_file(infile)
     timer.checkpoint("parse")
 
-    # 1) count (device histograms, device-resident accumulate)
+    # 1) dispatch device work first (histograms + dedup sort) — all async,
+    # so the TPU runs while the host writes the trimmed file
     acc = QCAccumulator()
     b = bucket_rows(batch.n)
     acc.add_batch(pad_rows(batch.qual, b), pad_rows(batch.lens, b), batch.n)
-
-    # 2) uniq (device sort) — dispatched before host-side trim writing so
-    # the TPU works while the host formats text
     sumq = jnp.asarray(sum_quality_host(batch.qual))
-    rep, counts, n_groups = dedup_device(batch.seq, batch.lens, sumq)
-    timer.checkpoint("device")
+    words = seq_words(batch.seq)
+    from ..ops.sortengine import dedup_sorted
+    res = dedup_sorted(words, jnp.asarray(batch.lens), sumq,
+                       jnp.int32(batch.n), length_first=False)
+    timer.checkpoint("dispatch")
 
-    # 3) trim (host slice + write)
+    # 2) trim (host slice + write) overlaps the device sort
     seq_t, qual_t, lens_t = trim_batch(batch, start, end)
     with open(prefix + ".trim.fastq", "wb") as out:
         out.write(format_fastq(batch.names, batch.name_starts, batch.name_lens,
                                seq_t, qual_t, lens_t))
     timer.checkpoint("trim_write")
 
+    # 3) pull dedup results, group math on host
+    perm = np.asarray(res["perm"])
+    is_head = np.asarray(res["is_head"])
+    timer.checkpoint("dedup_pull")
+    head_pos = np.flatnonzero(is_head)
+    counts = np.diff(np.concatenate([head_pos, [batch.n]]))
+    rep = perm[head_pos]
+    n_groups = len(head_pos)
+
     with open(prefix + ".count.tsv", "w") as out:
         out.write(_row(infile, acc))
 
+    # the two uniq outputs are identical records in identical order
+    # (we emit key-sorted for both) — format once, write twice
+    chunks = []
+
+    class _Sink:
+        def write(self, data):
+            chunks.append(data)
+
+    _emit(_Sink(), batch, rep, counts)
+    payload = b"".join(chunks)
     with open(prefix + "_uniq.fq", "wb") as out:
-        _emit(out, batch, rep, counts)
+        out.write(payload)
     with open(prefix + "_sortKeyUniq.fq", "wb") as out:
-        _emit(out, batch, rep, counts)
+        out.write(payload)
     timer.checkpoint("uniq_write")
     return dict(n=batch.n, n_groups=n_groups,
                 stages=dict(timer.stages))

@@ -147,3 +147,22 @@ def test_mrle_parity(tmp_path):
     assert rc == 0
     assert (tmp_path / "ours_sort_by_seq.fq").read_bytes() == \
         (tmp_path / "ref_sort_by_seq.fq").read_bytes()
+
+
+def test_mrle_long_runs(tmp_path):
+    # quality strings with runs > 255 exercise the 255-continuation bytes
+    q = b"F" * 300 + b"#" * 10 + b"/" * 256 + b"<B" * 5
+    seq = b"A" * len(q)
+    data = b"@r1\n" + seq + b"\n+\n" + q + b"\n"
+    p = tmp_path / "in.fq"
+    p.write_bytes(data)
+    ref = run_oracle("gzfastq_mrle", ["-i", str(p), "-o", str(tmp_path / "ref")],
+                     cwd=str(tmp_path))
+    if ref is None:
+        pytest.skip("no C toolchain")
+    import io as _io, contextlib
+    buf_path = tmp_path / "ours"
+    rc = cli_main(["gzfastq_mrle", "-i", str(p), "-o", str(buf_path)])
+    assert rc == 0
+    assert (tmp_path / "ours_sort_by_seq.fq").read_bytes() == \
+        (tmp_path / "ref_sort_by_seq.fq").read_bytes()
