@@ -194,6 +194,31 @@ def dedup_sorted(words: jax.Array, lens: jax.Array, sumq: jax.Array,
     return dict(perm=perm, is_head=is_head, n_groups=n_groups)
 
 
+DEVICE_DEDUP_LIMIT = int(__import__("os").environ.get(
+    "NGSTPU_DEVICE_DEDUP_LIMIT", 4 << 30))
+
+
+def _dedup_host(words_np: np.ndarray, lens_np: np.ndarray,
+                sumq_np: np.ndarray, n_valid: int, length_first: bool):
+    """Host spill path for unique-sets beyond HBM (SURVEY.md §2b #4):
+    numpy lexsort with identical key order to the device path."""
+    # np.lexsort: LAST key is primary. Significance (most->least):
+    # validity, (lens if length_first), words[0..W-1], lens, -sumq, idx.
+    keys = [np.arange(len(lens_np))]           # idx (least significant)
+    keys.append(-sumq_np.astype(np.int64))
+    keys.append(lens_np)
+    keys.extend(words_np[:, w] for w in range(words_np.shape[1] - 1, -1, -1))
+    if length_first:
+        keys.append(lens_np)
+    keys.append(np.arange(len(lens_np)) >= n_valid)  # padding rows last
+    perm = np.lexsort(tuple(keys)).astype(np.int32)[:n_valid]
+    sw = words_np[perm]
+    sl = lens_np[perm]
+    same = (sw[1:] == sw[:-1]).all(axis=1) & (sl[1:] == sl[:-1])
+    is_head = np.concatenate([[True], ~same])
+    return perm, is_head
+
+
 def dedup_groups(words: jax.Array, lens, sumq, n_valid: int,
                  length_first: bool = False):
     """Host-side wrapper around dedup_sorted.
@@ -205,11 +230,20 @@ def dedup_groups(words: jax.Array, lens, sumq, n_valid: int,
       rep       [G] original index of the representative (first max-sumQ)
       n_groups  int
     Groups are in key-ascending order; heads are the representatives.
+
+    Key sets larger than NGSTPU_DEVICE_DEDUP_LIMIT bytes (default 4GB)
+    spill to a host lexsort with identical ordering (the single-chip HBM
+    contingency; multi-chip should use parallel.dsort instead).
     """
-    res = dedup_sorted(words, lens, sumq, jnp.int32(n_valid),
-                       length_first=length_first)
-    perm = np.asarray(res["perm"])
-    is_head = np.asarray(res["is_head"])
+    nbytes = words.size * 4 if hasattr(words, "size") else words.nbytes
+    if nbytes > DEVICE_DEDUP_LIMIT:
+        perm, is_head = _dedup_host(np.asarray(words), np.asarray(lens),
+                                    np.asarray(sumq), n_valid, length_first)
+    else:
+        res = dedup_sorted(words, lens, sumq, jnp.int32(n_valid),
+                           length_first=length_first)
+        perm = np.asarray(res["perm"])
+        is_head = np.asarray(res["is_head"])
     head_pos = np.flatnonzero(is_head)
     counts = np.diff(np.concatenate([head_pos, [n_valid]]))
     rep = perm[head_pos]

@@ -105,3 +105,24 @@ def test_uniq_pe_parity(tmp_path):
     for mate in ("_1_uniq.fq", "_2_uniq.fq"):
         assert _records((tmp_path / ("ours" + mate)).read_bytes()) == \
             _records((tmp_path / ("ref" + mate)).read_bytes())
+
+
+def test_host_dedup_spill_path_matches_device(tmp_path, monkeypatch):
+    """Force the >HBM host lexsort fallback and compare with device dedup."""
+    import jax.numpy as jnp
+    import numpy as np
+    from ngstpu.ops import sortengine
+
+    rng = np.random.default_rng(5)
+    B = 2048
+    words = rng.integers(0, 50, (B, 3)).astype(np.uint32)
+    lens = rng.integers(10, 30, B).astype(np.int32)
+    sumq = rng.integers(0, 3000, B).astype(np.uint32)
+    g_dev = sortengine.dedup_groups(jnp.asarray(words), jnp.asarray(lens),
+                                    jnp.asarray(sumq), B)
+    monkeypatch.setattr(sortengine, "DEVICE_DEDUP_LIMIT", 1)
+    g_host = sortengine.dedup_groups(jnp.asarray(words), jnp.asarray(lens),
+                                     jnp.asarray(sumq), B)
+    assert (g_dev["perm"] == g_host["perm"]).all()
+    assert (g_dev["counts"] == g_host["counts"]).all()
+    assert (g_dev["rep"] == g_host["rep"]).all()
