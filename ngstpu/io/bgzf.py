@@ -11,7 +11,6 @@ parallel through the native zlib path; the writer emits spec-compliant
 from __future__ import annotations
 
 import gzip
-import io
 import struct
 import zlib
 

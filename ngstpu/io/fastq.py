@@ -14,7 +14,7 @@ from typing import Iterator
 
 import numpy as np
 
-from .ragged import gather_padded, ragged_arange, round_up
+from .ragged import ragged_arange, round_up
 from .stream import open_input
 
 DEFAULT_CHUNK_BYTES = 64 << 20

@@ -35,12 +35,22 @@ _p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 
 def _build() -> bool:
     _BUILD_DIR.mkdir(parents=True, exist_ok=True)
+    # build to a per-pid temp path, then atomic-rename: concurrent builders
+    # never observe a half-written .so
+    tmp = _BUILD_DIR / f".libngsio.{os.getpid()}.so"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-o", str(_SO), str(_SRC), "-lz", "-lpthread"]
+           "-o", str(tmp), str(_SRC), "-lz", "-lpthread"]
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=180)
-        return r.returncode == 0 and _SO.exists()
+        if r.returncode != 0 or not tmp.exists():
+            return False
+        os.replace(tmp, _SO)
+        return True
     except (OSError, subprocess.TimeoutExpired):
+        try:
+            tmp.unlink(missing_ok=True)
+        except OSError:
+            pass
         return False
 
 

@@ -18,8 +18,6 @@ entirely, a reference quirk we preserve).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

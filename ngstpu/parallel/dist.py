@@ -14,8 +14,6 @@ explicit and compiled by XLA onto ICI.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -19,8 +19,6 @@ would re-shard with a bigger factor on overflow).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,7 +9,6 @@ is built lazily from the reference tarball.
 
 from __future__ import annotations
 
-import os
 import pathlib
 import shutil
 import subprocess

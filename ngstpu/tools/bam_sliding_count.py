@@ -26,7 +26,6 @@ import sys
 import numpy as np
 
 from ..io.bam import FUNMAP, read_bam
-from ..io.stream import with_suffix
 from ..utils.png import Canvas, write_png
 from ..utils.timing import StageTimer
 

@@ -27,7 +27,6 @@ import sys
 import numpy as np
 
 from ..io.fastq import FastqChunkReader, count_reads, format_fastq
-from ..io.ragged import flatten_ragged, ragged_arange
 from ..io.stream import GzipRecordWriter
 from ..rng.mt19937 import glibc_rand_first, sample_indices, x31_hash_batch
 from ..utils.timing import StageTimer

@@ -20,14 +20,13 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..io.fastq import format_fastq, read_fastq_file
-from ..io.stream import open_output
 from ..ops.count import QCAccumulator
 from ..ops.sortengine import sum_quality_host
 from ..utils.padding import bucket_rows, pad_rows
 from ..utils.timing import StageTimer
 from .fastq_count import _row
 from .fastq_trim import trim_batch
-from .gzfastq_uniq import _emit, dedup_device
+from .gzfastq_uniq import _emit
 
 
 def run(infile: str, prefix: str, start: int, end: int,

@@ -15,7 +15,6 @@ import sys
 import numpy as np
 import jax.numpy as jnp
 
-from ..io.stream import open_output
 from ..ops.twobit import unpack2bit
 from ..utils.timing import StageTimer
 
