@@ -35,23 +35,9 @@ def ensure_fixture() -> pathlib.Path:
     p = d / f"comp_{N_READS}x{READ_LEN}.fq"
     if not p.exists():
         from ngstpu.testing.fixtures import random_fastq_fast
-        data = random_fastq_fast(N_READS, READ_LEN, seed=123)
-        p.write_bytes(_with_dups(data))
+        p.write_bytes(random_fastq_fast(N_READS, READ_LEN, seed=123,
+                                        dup_frac=0.3))
     return p
-
-
-def _with_dups(data: bytes) -> bytes:
-    import numpy as np
-    lines = data.split(b"\n")
-    n = (len(lines) - 1) // 4
-    rng = np.random.default_rng(7)
-    src = rng.integers(0, n, n)
-    dup = rng.random(n) < 0.3
-    for i in range(n):
-        if dup[i]:
-            j = int(src[i])
-            lines[4 * i + 1] = lines[4 * j + 1]
-    return b"\n".join(lines)
 
 
 def time_c_reference(path: pathlib.Path, workdir: pathlib.Path) -> float | None:

@@ -113,20 +113,37 @@ def dna3_words(padded: jax.Array) -> jax.Array:
     return jnp.sum(ranks << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
 
 
+def _order_u32(key: jax.Array) -> jax.Array:
+    """Order-preserving cast to uint32 (signed ints get a sign-bias)."""
+    if key.dtype == jnp.uint32:
+        return key
+    if key.dtype == jnp.bool_:
+        return key.astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(key.astype(jnp.int32),
+                                        jnp.uint32) ^ jnp.uint32(0x80000000)
+
+
 def _lsd_perm(keys_msf: list[jax.Array]) -> jax.Array:
     """Stable lexicographic argsort via LSD passes of 2-operand sorts.
 
     keys_msf: key arrays in most-significant-first order. A wide
     multi-operand lax.sort compiles pathologically on TPU (the comparator
-    explodes); a chain of stable (key, perm) sorts — least significant key
-    first — compiles linearly and runs at ~7M rows/s for 15 passes.
-    Stability makes the original index the implicit final tiebreaker.
+    explodes), and even an unrolled chain instantiates one sort lowering
+    per pass (~20s compile each). Running the passes under lax.scan makes
+    XLA compile a SINGLE (uint32 key, perm) sort reused for every pass —
+    compile time is flat in key width. Stability makes the original index
+    the implicit final tiebreaker.
     """
     B = keys_msf[0].shape[0]
-    perm = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
-    for key in reversed(keys_msf):
-        k = jnp.take(key, perm)
+    ks = jnp.stack([_order_u32(k) for k in reversed(keys_msf)])  # [P, B]
+    perm0 = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
+
+    def body(perm, key_row):
+        k = jnp.take(key_row, perm)
         _, perm = jax.lax.sort((k, perm), num_keys=1, is_stable=True)
+        return perm, None
+
+    perm, _ = jax.lax.scan(body, perm0, ks)
     return perm
 
 

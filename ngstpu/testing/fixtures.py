@@ -52,10 +52,15 @@ def random_fastq(n_reads: int, read_len: int = 100, seed: int = 0,
 
 
 def random_fastq_fast(n_reads: int, read_len: int = 100, seed: int = 0,
-                      name_prefix: str = "read") -> bytes:
+                      name_prefix: str = "read",
+                      dup_frac: float = 0.0) -> bytes:
     """Fully vectorized fixed-length FASTQ generator (for benchmarks)."""
     rng = np.random.default_rng(seed)
     seqs = BASES[rng.integers(0, 4, (n_reads, read_len))]
+    if dup_frac > 0:
+        src = rng.integers(0, n_reads, n_reads)
+        dup = rng.random(n_reads) < dup_frac
+        seqs = seqs[np.where(dup, src, np.arange(n_reads))]
     quals = rng.integers(33, 75, (n_reads, read_len), dtype=np.uint8)
     names = np.array([f"@{name_prefix}_{i}".encode() for i in range(n_reads)],
                      dtype=object)
