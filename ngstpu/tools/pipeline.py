@@ -31,20 +31,44 @@ from .gzfastq_uniq import _emit
 
 def run(infile: str, prefix: str, start: int, end: int,
         timer: StageTimer | None = None) -> dict:
-    from ..ops.sortengine import dedup_groups, seq_words
+    from ..io.fastq import FastqChunkReader, concat_batches
+    from ..ops.sortengine import dedup_sorted, seq_words
 
     timer = timer or StageTimer()
-    batch = read_fastq_file(infile)
+
+    # Parse chunk-by-chunk, overlapping host decode with device transfers:
+    # each chunk's quality histogram is dispatched and its packed sort
+    # words shipped while the reader inflates the next chunk.
+    from ..ops.sortengine import is_dna3_compatible
+
+    acc = QCAccumulator()
+    batches = []
+    word_chunks = []
+    sumq_parts = []
+    all_dna3 = True
+    for chunk in FastqChunkReader(infile):
+        b = bucket_rows(chunk.n)
+        acc.add_batch(pad_rows(chunk.qual, b), pad_rows(chunk.lens, b),
+                      chunk.n)
+        sumq_parts.append(sum_quality_host(chunk.qual))
+        if all_dna3 and is_dna3_compatible(chunk.seq, None):
+            word_chunks.append(seq_words(chunk.seq))
+        else:
+            all_dna3 = False
+        batches.append(chunk)
+    batch = concat_batches(batches)
     timer.checkpoint("parse")
 
-    # 1) dispatch device work first (histograms + dedup sort) — all async,
-    # so the TPU runs while the host writes the trimmed file
-    acc = QCAccumulator()
-    b = bucket_rows(batch.n)
-    acc.add_batch(pad_rows(batch.qual, b), pad_rows(batch.lens, b), batch.n)
-    sumq = jnp.asarray(sum_quality_host(batch.qual))
-    words = seq_words(batch.seq)
-    from ..ops.sortengine import dedup_sorted
+    if all_dna3 and word_chunks:
+        wmax = max(w.shape[1] for w in word_chunks)
+        words = jnp.concatenate(
+            [jnp.pad(w, ((0, 0), (0, wmax - w.shape[1])))
+             if w.shape[1] != wmax else w for w in word_chunks])
+    else:
+        # exotic alphabet somewhere: one consistent raw-byte packing
+        words = seq_words(batch.seq)
+    sumq = jnp.asarray(np.concatenate(sumq_parts) if sumq_parts
+                       else np.zeros(0, np.uint32))
     res = dedup_sorted(words, jnp.asarray(batch.lens), sumq,
                        jnp.int32(batch.n), length_first=False)
     timer.checkpoint("dispatch")
