@@ -43,9 +43,23 @@ def main(argv: list[str] | None = None) -> int:
             sys.stderr.write(f"  {name}\n")
         return 1
     name = argv[0]
+    if name == "serve":
+        from .server import main as serve_main
+
+        return serve_main(argv[1:])
     if name not in TOOLS:
         sys.stderr.write(f"ngstpu: unknown tool '{name}'\n")
         return 2
+    import os
+
+    server_sock = os.environ.get("NGSTPU_SERVER")
+    if server_sock:
+        from .server import call_server
+
+        rc = call_server(server_sock, name, argv[1:])
+        if rc is not None:
+            return rc
+        sys.stderr.write("ngstpu: server unreachable, running locally\n")
     from ..utils.jaxsetup import setup_jax_cache
 
     setup_jax_cache()
