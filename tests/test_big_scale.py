@@ -1,0 +1,73 @@
+"""BASELINE-scale parity tests (env-gated: NGSTPU_BIG_TESTS=1).
+
+Mirrors BASELINE.md configs at reduced-but-substantial sizes so they run
+in minutes on CPU: trim+sample on 1M gzip reads, uniq+sort on 1M reads.
+"""
+
+import gzip
+import os
+
+import pytest
+
+from ngstpu.testing.fixtures import random_fastq_fast
+from ngstpu.testing.oracles import run_oracle
+from ngstpu.tools.cli import main as cli_main
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("NGSTPU_BIG_TESTS"),
+    reason="set NGSTPU_BIG_TESTS=1 for BASELINE-scale runs")
+
+N = 1_000_000
+
+
+@pytest.fixture(scope="module")
+def big_fq(tmp_path_factory):
+    d = tmp_path_factory.mktemp("big")
+    p = d / "big.fq"
+    p.write_bytes(random_fastq_fast(N, 100, seed=7, dup_frac=0.3))
+    return p
+
+
+def test_trim_1m(big_fq, tmp_path):
+    ref = run_oracle("fastq_trim", ["-i", str(big_fq), "-e", "50",
+                                    "-o", str(tmp_path / "ref")], cwd=str(tmp_path))
+    if ref is None:
+        pytest.skip("no C toolchain")
+    rc = cli_main(["fastq_trim", "-i", str(big_fq), "-e", "50",
+                   "-o", str(tmp_path / "ours")])
+    assert rc == 0
+    assert (tmp_path / "ours.trim.fastq").read_bytes() == \
+        (tmp_path / "ref.trim.fastq").read_bytes()
+
+
+def test_sample_n_1m(big_fq, tmp_path):
+    ref_dir = tmp_path / "r"
+    ours_dir = tmp_path / "o"
+    ref_dir.mkdir()
+    ours_dir.mkdir()
+    ref = run_oracle("gzfastq_sample", ["-1", str(big_fq), "-n", "100000"],
+                     cwd=str(ref_dir))
+    if ref is None:
+        pytest.skip("no C toolchain")
+    old = os.getcwd()
+    os.chdir(ours_dir)
+    try:
+        rc = cli_main(["gzfastq_sample", "-1", str(big_fq), "-n", "100000"])
+    finally:
+        os.chdir(old)
+    assert rc == 0
+    (f,) = os.listdir(ref_dir)
+    with gzip.open(ref_dir / f) as a, gzip.open(ours_dir / f) as b:
+        assert a.read() == b.read()
+
+
+def test_uniq_1m(big_fq, tmp_path):
+    ref = run_oracle("gzfastq_uniq", ["-1", str(big_fq), "-o",
+                                      str(tmp_path / "ref")], cwd=str(tmp_path))
+    if ref is None:
+        pytest.skip("no C toolchain")
+    rc = cli_main(["gzfastq_uniq", "-1", str(big_fq), "-o",
+                   str(tmp_path / "ours")])
+    assert rc == 0
+    assert (tmp_path / "ours_sortKeyUniq.fq").read_bytes() == \
+        (tmp_path / "ref_sortKeyUniq.fq").read_bytes()
