@@ -12,6 +12,9 @@ import sys
 import time
 
 
+import os
+
+
 class StageTimer:
     def __init__(self):
         self.begin = time.monotonic()
@@ -22,6 +25,13 @@ class StageTimer:
 
     def log(self, fmt: str = "Finished at %.3f s\n") -> None:
         sys.stderr.write(fmt % self.elapsed())
+        if self.stages and os.environ.get("NGSTPU_PROFILE"):
+            prev = 0.0
+            parts = []
+            for name, t in self.stages:
+                parts.append(f"{name}={t - prev:.3f}s")
+                prev = t
+            sys.stderr.write("[profile] " + " ".join(parts) + "\n")
 
     def checkpoint(self, name: str) -> None:
         self.stages.append((name, self.elapsed()))
