@@ -32,6 +32,7 @@ TOOLS = {
     "bamSplitChr": "ngstpu.tools.bam_split_chr",
     "fastqc": "ngstpu.tools.fastqc",
     "pipeline": "ngstpu.tools.pipeline",
+    "index": "ngstpu.tools.bam_index",
 }
 
 

@@ -97,3 +97,33 @@ def test_bam_split_chr_parity(tmp_path, bam_fixture):
                             capture_output=True, timeout=120)
         assert rv.returncode == 0 and ov.returncode == 0, f
         assert ov.stdout == rv.stdout, f
+
+
+def test_our_bai_matches_samtools_fetch(tmp_path):
+    """bam2depth (C, index-based) produces identical output whether the
+    .bai comes from samtools or from `ngstpu index`."""
+    st = samtools_exe()
+    if st is None:
+        pytest.skip("no samtools")
+    bam1 = str(tmp_path / "a.bam")
+    bam2 = str(tmp_path / "b.bam")
+    random_bam(bam1, REFS, n_reads=3000, seed=21, read_len=90)
+    import shutil
+    shutil.copy(bam1, bam2)
+    assert index_bam(bam1)  # samtools index for a.bam
+    from ngstpu.tools.cli import main as cli
+    assert cli(["index", bam2]) == 0  # our index for b.bam
+    d1 = tmp_path / "r1"
+    d2 = tmp_path / "r2"
+    d1.mkdir()
+    d2.mkdir()
+    r1 = run_oracle("bam2depth", ["-o", "out", "-w", "6000", bam1], cwd=str(d1))
+    r2 = run_oracle("bam2depth", ["-o", "out", "-w", "6000", bam2], cwd=str(d2))
+    assert r1.returncode == 0 and r2.returncode == 0, (
+        r1.stderr.decode()[:200], r2.stderr.decode()[:200])
+    f1 = sorted(os.listdir(d1))
+    f2 = sorted(os.listdir(d2))
+    assert [f.replace("a.bam", "x") for f in f1] == \
+        [f.replace("b.bam", "x") for f in f2]
+    for fa, fb in zip(f1, f2):
+        assert (d1 / fa).read_bytes() == (d2 / fb).read_bytes(), fa
