@@ -42,6 +42,8 @@ def main(argv: list[str] | None = None) -> int:
         sys.stderr.write("usage: ngstpu <tool> [args...]\ntools:\n")
         for name in TOOLS:
             sys.stderr.write(f"  {name}\n")
+        sys.stderr.write("  serve          (warm-process server; route "
+                         "calls with NGSTPU_SERVER=<socket>)\n")
         return 1
     name = argv[0]
     if name == "serve":

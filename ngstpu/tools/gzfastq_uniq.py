@@ -79,14 +79,26 @@ def run_se(read1: str, outfile: str, timer: StageTimer) -> None:
             chunks.append(data)
 
     _emit(_Sink(), batch, rep, counts)
-    for suffix in ("_uniq.fq", "_sortKeyUniq.fq"):
-        out = open_output(with_suffix(outfile, suffix))
+    first = with_suffix(outfile, "_uniq.fq")
+    out = open_output(first)
+    for c in chunks:
+        out.write(c)
+    to_file = out is not sys.stdout.buffer
+    if to_file:
+        out.close()
+        # identical second file: kernel-side copy beats re-writing 230MB+
+        import shutil
+
+        shutil.copyfile(first, with_suffix(outfile, "_sortKeyUniq.fq"))
+    else:
+        out.flush()
+        out2 = open_output(with_suffix(outfile, "_sortKeyUniq.fq"))
         for c in chunks:
-            out.write(c)
-        if out is not sys.stdout.buffer:
-            out.close()
+            out2.write(c)
+        if out2 is not sys.stdout.buffer:
+            out2.close()
         else:
-            out.flush()
+            out2.flush()
 
 
 def run_pe(read1: str, read2: str, outfile: str, timer: StageTimer) -> None:

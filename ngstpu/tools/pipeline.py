@@ -101,11 +101,13 @@ def run(infile: str, prefix: str, start: int, end: int,
             chunks.append(data)
 
     _emit(_Sink(), batch, rep, counts)
-    payload = b"".join(chunks)
     with open(prefix + "_uniq.fq", "wb") as out:
-        out.write(payload)
-    with open(prefix + "_sortKeyUniq.fq", "wb") as out:
-        out.write(payload)
+        for c in chunks:
+            out.write(c)
+    # identical second file: kernel-side copy (copy_file_range/sendfile)
+    import shutil
+
+    shutil.copyfile(prefix + "_uniq.fq", prefix + "_sortKeyUniq.fq")
     timer.checkpoint("uniq_write")
     return dict(n=batch.n, n_groups=n_groups,
                 stages=dict(timer.stages))
