@@ -72,6 +72,11 @@ def main(argv: list[str] | None = None) -> int:
     except FileNotFoundError as e:
         sys.stderr.write(f"ngstpu {name}: {e}\n")
         return 1
+    except ValueError as e:
+        # malformed input (bad FASTQ record structure, bad BAM/BGZF magic,
+        # codec domain errors) — fail cleanly like a CLI, not a traceback
+        sys.stderr.write(f"ngstpu {name}: invalid input: {e}\n")
+        return 1
     except BrokenPipeError:
         return 0
 
