@@ -79,7 +79,20 @@ def _parse_chunk(data: np.ndarray, keep_plus: bool, pad_to: int,
     `need` controls which padded fields are materialized — e.g. fastq_count
     only touches qualities, so skipping seq/name extraction halves the
     host-side work.
+
+    Fast path: the fused native parser (ngs_fastq_scan/fill — two passes
+    over the chunk, no offset arrays). The numpy pipeline below is the
+    fallback and handles keep_plus.
     """
+    if not keep_plus:
+        from .native import parse_fastq_chunk
+
+        fused = parse_fastq_chunk(data, pad_to, need)
+        if fused is not None:
+            seq, qual, seq_lens, names, name_starts, name_lens = fused
+            return FastqBatch(seq=seq, qual=qual, lens=seq_lens, names=names,
+                              name_starts=name_starts, name_lens=name_lens)
+
     from .native import find_newlines
 
     nl = find_newlines(data)

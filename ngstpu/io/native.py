@@ -72,6 +72,13 @@ def get_lib() -> ctypes.CDLL | None:
         except OSError:
             return None
         lib.ngs_version.restype = _int
+        lib.ngs_hw_threads.restype = _int
+        lib.ngs_fastq_scan.restype = _i64
+        lib.ngs_fastq_scan.argtypes = [_p_u8, _i64, _p_i64, _int]
+        lib.ngs_fastq_fill.argtypes = [
+            _p_u8, _i64, _p_i64, _i64, _int, _int, _int,
+            ctypes.c_void_p, ctypes.c_void_p, _p_i32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, _int]
         lib.ngs_count_newlines.restype = _i64
         lib.ngs_count_newlines.argtypes = [_p_u8, _i64, _int]
         lib.ngs_find_newlines.restype = _i64
@@ -124,6 +131,60 @@ def get_lib() -> ctypes.CDLL | None:
 
 def have_native() -> bool:
     return get_lib() is not None
+
+
+def parse_fastq_chunk(data: np.ndarray, pad_to: int,
+                      need: frozenset) -> tuple | None:
+    """Fused two-pass FASTQ chunk parse (ngs_fastq_scan/fill).
+
+    Returns (seq, qual, seq_lens, names, name_starts, name_lens) with the
+    same layout as the legacy path, or None when the native library is
+    unavailable (caller falls back). Raises ValueError on a line count that
+    is not a multiple of 4, matching the legacy parser.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(data)
+    t = lib.ngs_hw_threads()
+    state = np.zeros(4 + 14 * t, dtype=np.int64)
+    n_lines = lib.ngs_fastq_scan(data, n, state, t) if n else 0
+    if n_lines % 4:
+        raise ValueError(
+            f"FASTQ chunk has {n_lines} lines (not a multiple of 4)")
+    b = n_lines // 4
+    max_sq = int(state[2])
+    name_total = int(state[3])
+    lmax = max(-(-max(max_sq, 1) // pad_to) * pad_to, pad_to)
+    need_seq = "seq" in need
+    need_qual = "qual" in need
+    need_names = "names" in need
+
+    seq = np.empty((b, lmax), np.uint8) if need_seq else np.zeros((b, 0), np.uint8)
+    qual = np.empty((b, lmax), np.uint8) if need_qual else np.zeros((b, 0), np.uint8)
+    seq_lens = np.empty(b, np.int32)
+    if need_names:
+        names = np.empty(name_total, np.uint8)
+        name_starts = np.empty(b, np.int64)
+        name_lens = np.empty(b, np.int32)
+    else:
+        names = np.zeros(0, np.uint8)
+        name_starts = np.zeros(b, np.int64)
+        name_lens = np.zeros(b, np.int32)
+    if b:
+        def vp(a):
+            return a.ctypes.data_as(ctypes.c_void_p)
+
+        lib.ngs_fastq_fill(
+            data, n, state, lmax, need_seq, need_qual, need_names,
+            vp(seq) if need_seq else ctypes.c_void_p(0),
+            vp(qual) if need_qual else ctypes.c_void_p(0),
+            seq_lens,
+            vp(names) if need_names else ctypes.c_void_p(0),
+            vp(name_starts) if need_names else ctypes.c_void_p(0),
+            vp(name_lens) if need_names else ctypes.c_void_p(0),
+            t)
+    return seq, qual, seq_lens, names, name_starts, name_lens
 
 
 def find_newlines(data: np.ndarray) -> np.ndarray:

@@ -51,7 +51,7 @@ void parallel_ranges(int64_t n, int nthreads, F&& fn) {
 
 extern "C" {
 
-int ngs_version() { return 10300; }
+int ngs_version() { return 10400; }
 
 // ---------------------------------------------------------------------------
 // Newline scanning
@@ -110,6 +110,162 @@ int64_t ngs_find_newlines(const uint8_t* buf, int64_t n, int64_t* out,
         }
     });
     return counts[nthreads];
+}
+
+// ---------------------------------------------------------------------------
+// Fused FASTQ chunk parser
+//
+// Replaces the find_newlines -> numpy slicing -> fill_padded x2 ->
+// concat_ragged chain with exactly TWO passes over the chunk and zero
+// intermediate offset arrays (the role of the reference's kseq_read loop,
+// klib/kseq.h:171-211, at chunk granularity). Two-phase parallel-CSV
+// structure: phase 1 counts newlines / line-length stats per thread range
+// (lines that straddle a range boundary are fixed up sequentially in a
+// finalize step); phase 2 copies every line straight to its destination
+// (padded seq/qual row, or the compacted name blob) with one memchr sweep.
+//
+// State layout (int64, caller-zeroed, 4 + 14*T slots):
+//   [0]=T used  [1]=n_lines  [2]=max(seq,qual len)  [3]=total name bytes
+//   per-thread t at 4+14*t:
+//     0:c_t newlines  1:first_nl  2:last_nl  3..6:sum of line lens by
+//     (local ordinal k mod 4) for k>=1   7..10:max likewise
+//     11:P_t global index of first line  12:N_t name-byte prefix
+//     13:start byte offset of thread's first line
+// ---------------------------------------------------------------------------
+
+namespace {
+
+int64_t fq_threads(int64_t n, int nthreads) {
+    if (nthreads <= 0) nthreads = hw_threads();
+    // >=1MB per thread; always >=1
+    return std::max<int64_t>(
+        1, std::min<int64_t>(nthreads, (n + (1 << 20) - 1) >> 20));
+}
+
+}  // namespace
+
+int ngs_hw_threads() { return hw_threads(); }
+
+int64_t ngs_fastq_scan(const uint8_t* data, int64_t n, int64_t* state,
+                       int nthreads) {
+    int64_t T = fq_threads(n, nthreads);
+    state[0] = T;
+    int64_t chunk = (n + T - 1) / T;
+    parallel_ranges(n, static_cast<int>(T), [&](int64_t lo, int64_t hi, int t) {
+        int64_t* st = state + 4 + 14 * t;
+        const uint8_t* p = data + lo;
+        const uint8_t* end = data + hi;
+        int64_t c = 0, first_nl = -1, prev = -1;
+        int64_t sum4[4] = {0, 0, 0, 0};
+        int64_t max4[4] = {0, 0, 0, 0};
+        while ((p = static_cast<const uint8_t*>(
+                    memchr(p, '\n', end - p))) != nullptr) {
+            int64_t pos = p - data;
+            if (c == 0) {
+                first_nl = pos;
+            } else {
+                int64_t len = pos - prev - 1;
+                int cls = static_cast<int>(c & 3);
+                sum4[cls] += len;
+                if (len > max4[cls]) max4[cls] = len;
+            }
+            prev = pos;
+            ++c;
+            ++p;
+        }
+        st[0] = c;
+        st[1] = first_nl;
+        st[2] = prev;  // last_nl
+        for (int j = 0; j < 4; ++j) { st[3 + j] = sum4[j]; st[7 + j] = max4[j]; }
+    });
+    // finalize: sequential boundary fixup + prefixes
+    int64_t P = 0, N = 0, maxsq = 0, prev_last = -1;
+    for (int64_t t = 0; t < T; ++t) {
+        int64_t* st = state + 4 + 14 * t;
+        int64_t c = st[0];
+        st[11] = P;
+        st[12] = N;
+        st[13] = prev_last + 1;
+        if (c > 0) {
+            // boundary line (local k=0, global index P)
+            int64_t blen = st[1] - prev_last - 1;
+            int bcls = static_cast<int>(P & 3);
+            if (bcls == 0) N += blen;
+            if ((bcls == 1 || bcls == 3) && blen > maxsq) maxsq = blen;
+            // rotated accumulators: local class j holds lines with
+            // global class (P + j) & 3
+            int64_t j0 = (0 - P) & 3, j1 = (1 - P) & 3, j3 = (3 - P) & 3;
+            N += st[3 + j0];
+            if (st[7 + j1] > maxsq) maxsq = st[7 + j1];
+            if (st[7 + j3] > maxsq) maxsq = st[7 + j3];
+            prev_last = st[2];
+            P += c;
+        }
+    }
+    state[1] = P;
+    state[2] = maxsq;
+    state[3] = N;
+    return P;
+}
+
+void ngs_fastq_fill(const uint8_t* data, int64_t n, const int64_t* state,
+                    int64_t lmax, int need_seq, int need_qual, int need_names,
+                    uint8_t* seq, uint8_t* qual, int32_t* seq_lens,
+                    uint8_t* names, int64_t* name_starts, int32_t* name_lens,
+                    int nthreads) {
+    int64_t T = state[0];
+    (void)n;
+    (void)nthreads;
+    parallel_ranges(T, static_cast<int>(T), [&](int64_t lo, int64_t hi, int) {
+        for (int64_t t = lo; t < hi; ++t) {
+            const int64_t* st = state + 4 + 14 * t;
+            int64_t c = st[0];
+            if (c == 0) continue;
+            int64_t pos = st[13];
+            int64_t g = st[11];
+            int64_t name_off = st[12];
+            const uint8_t* p = data + pos;
+            const uint8_t* end = data + st[2] + 1;  // just past last_nl
+            while (p < end) {
+                const uint8_t* nlp = static_cast<const uint8_t*>(
+                    memchr(p, '\n', end - p));
+                int64_t len = nlp - p;
+                int64_t r = g >> 2;
+                switch (static_cast<int>(g & 3)) {
+                    case 0:
+                        if (need_names) {
+                            memcpy(names + name_off, p, len);
+                            name_starts[r] = name_off;
+                            name_lens[r] = static_cast<int32_t>(len);
+                        }
+                        name_off += len;
+                        break;
+                    case 1: {
+                        seq_lens[r] = static_cast<int32_t>(len);
+                        if (need_seq) {
+                            int64_t cl = len > lmax ? lmax : len;
+                            uint8_t* dst = seq + r * lmax;
+                            memcpy(dst, p, cl);
+                            memset(dst + cl, 0, lmax - cl);
+                        }
+                        break;
+                    }
+                    case 3:
+                        if (need_qual) {
+                            int64_t cl = len > lmax ? lmax : len;
+                            uint8_t* dst = qual + r * lmax;
+                            memcpy(dst, p, cl);
+                            memset(dst + cl, 0, lmax - cl);
+                        }
+                        break;
+                    default:
+                        break;  // '+' line
+                }
+                ++g;
+                p = nlp + 1;
+            }
+        }
+    });
 }
 
 // ---------------------------------------------------------------------------

@@ -65,3 +65,41 @@ def test_padding_and_lens(tmp_path):
     col = np.arange(b.seq.shape[1])
     pad_mask = col[None, :] >= b.lens[:, None]
     assert (b.seq[pad_mask] == 0).all()
+
+
+def test_fused_parser_matches_fallback():
+    """Differential: the fused native parser (ngs_fastq_scan/fill) must agree
+    with the pure-numpy pipeline on ragged records, across thread-boundary
+    fixups (multi-MB input) and every `need` subset."""
+    from ngstpu.io import native
+    import ngstpu.io.fastq as fq
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    recs = []
+    for i in range(40000):
+        L = int(rng.integers(1, 150))
+        s = rng.choice(np.frombuffer(b"ACGTN", np.uint8), L)
+        q = rng.integers(33, 74, L).astype(np.uint8)
+        nm = f"@r{i} x{int(rng.integers(0, 10))}".encode()
+        recs.append(nm + b"\n" + s.tobytes() + b"\n+\n" + q.tobytes() + b"\n")
+    data = np.frombuffer(b"".join(recs), np.uint8)
+    real = native.parse_fastq_chunk
+    try:
+        for need in (frozenset(("seq", "qual", "names")), frozenset(("qual",)),
+                     frozenset(("seq",))):
+            native.parse_fastq_chunk = lambda *a, **k: None
+            legacy = fq._parse_chunk(data, False, 128, need)
+            native.parse_fastq_chunk = real
+            seq, qual, lens, names, nstarts, nlens = real(data, 128, need)
+            assert np.array_equal(legacy.lens, lens)
+            assert np.array_equal(legacy.seq, seq)
+            assert np.array_equal(legacy.qual, qual)
+            assert np.array_equal(legacy.names, names)
+            assert np.array_equal(legacy.name_starts, nstarts)
+            assert np.array_equal(legacy.name_lens, nlens)
+    finally:
+        native.parse_fastq_chunk = real
+    with pytest.raises(ValueError):
+        real(np.frombuffer(b"@a\nAC\n+\n", np.uint8), 128, frozenset(("seq",)))
