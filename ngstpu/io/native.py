@@ -96,6 +96,11 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # suffixes
             _p_u8, _p_u8, _p_i32, ctypes.c_void_p,  # seq, qual, lens, qual_lens
             _i64, _i64, _p_i64, _p_u8, _int]
+        lib.ngs_format_fastq_take.argtypes = [
+            _p_u8, _p_i64, _p_i32, _p_i64, ctypes.c_void_p,   # names, idx_n, counts
+            _p_u8, _i64, _p_i32, _p_i64,                      # seq
+            _p_u8, _i64, _p_i32, _p_i64,                      # qual
+            _i64, _p_i64, _p_u8, _int]
         lib.ngs_gzip_compress_blocks.restype = _int
         lib.ngs_gzip_compress_blocks.argtypes = [
             _p_u8, _p_i64, _p_i64, _i64, _p_u8, _p_i64, _p_i64, _p_i64,
@@ -109,6 +114,11 @@ def get_lib() -> ctypes.CDLL | None:
         lib.ngs_dna3_pack.argtypes = [
             _p_u8, _i64, _i64, _i64,
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"), _int]
+        lib.ngs_byte_presence.argtypes = [_p_u8, _i64, _p_u8, _int]
+        lib.ngs_qc_hist.argtypes = [
+            _p_u8, _p_i32, _i64, _i64, _i64, _i64,
+            np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"), _int]
         lib.ngs_row_sums_u32.argtypes = [
             _p_u8, _i64, _i64,
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"), _int]
@@ -131,6 +141,57 @@ def get_lib() -> ctypes.CDLL | None:
 
 def have_native() -> bool:
     return get_lib() is not None
+
+
+def format_fastq_take(names: np.ndarray, name_starts: np.ndarray,
+                      name_lens: np.ndarray, idx_n: np.ndarray,
+                      counts: np.ndarray | None,
+                      seq: np.ndarray, slens: np.ndarray, idx_s: np.ndarray,
+                      qual: np.ndarray, qlens: np.ndarray,
+                      idx_q: np.ndarray) -> memoryview | bytes | None:
+    """One-pass gather+format of FASTQ records selected by index arrays,
+    with an optional "\\t{count}" name suffix. Returns the text, or None
+    when the native library is unavailable (caller falls back).
+
+    Record k: name[idx_n[k]] [\\t counts[k]] \\n seq[idx_s[k]][:slens[idx_s[k]]]
+    \\n+\\n qual[idx_q[k]][:qlens[idx_q[k]]] \\n.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    k = len(idx_n)
+    if k == 0:
+        return b""
+    idx_n = np.ascontiguousarray(idx_n, np.int64)
+    idx_s = np.ascontiguousarray(idx_s, np.int64)
+    idx_q = np.ascontiguousarray(idx_q, np.int64)
+    name_lens32 = np.ascontiguousarray(name_lens, np.int32)
+    slens32 = np.ascontiguousarray(slens, np.int32)
+    qlens32 = np.ascontiguousarray(qlens, np.int32)
+    rec = (name_lens32[idx_n].astype(np.int64) + 1
+           + slens32[idx_s].astype(np.int64) + 3
+           + qlens32[idx_q].astype(np.int64) + 1)
+    if counts is not None:
+        counts = np.ascontiguousarray(counts, np.int64)
+        # digits of each count (exact integer arithmetic), plus the '\t'
+        digits = np.ones(k, np.int64)
+        c = counts // 10
+        while c.any():
+            digits += c > 0
+            c //= 10
+        rec += 1 + digits
+    out_starts = np.zeros(k, np.int64)
+    np.cumsum(rec[:-1], out=out_starts[1:])
+    out = np.empty(int(out_starts[-1] + rec[-1]), np.uint8)
+    lib.ngs_format_fastq_take(
+        np.ascontiguousarray(names), np.ascontiguousarray(name_starts, np.int64),
+        name_lens32, idx_n,
+        counts.ctypes.data_as(ctypes.c_void_p) if counts is not None
+        else ctypes.c_void_p(0),
+        np.ascontiguousarray(seq), seq.shape[1], slens32, idx_s,
+        np.ascontiguousarray(qual), qual.shape[1], qlens32, idx_q,
+        k, out_starts, out, 0)
+    return out.data  # zero-copy buffer; file.write accepts memoryview
 
 
 def parse_fastq_chunk(data: np.ndarray, pad_to: int,

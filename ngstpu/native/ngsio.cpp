@@ -14,6 +14,7 @@
 #include <cstring>
 #include <cstdio>
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <thread>
 #include <vector>
@@ -374,6 +375,52 @@ void ngs_format_fastq(const uint8_t* names, const int64_t* name_starts,
 }
 
 // ---------------------------------------------------------------------------
+// Gather+format FASTQ subset in one pass (the dedup emit hot path):
+// record k = name[idx_n[k]] ["\t" count[k]] "\n" seq[idx_s[k]][:slen] "\n+\n"
+// qual[idx_q[k]][:qlen] "\n". Caller precomputes out_starts (record offsets,
+// exclusive cumsum); counts may be null. Parallel over records — replaces a
+// numpy gather chain + per-record Python "%d" formatting.
+// ---------------------------------------------------------------------------
+static inline uint8_t* put_i64(uint8_t* o, int64_t v);
+
+void ngs_format_fastq_take(
+    const uint8_t* names, const int64_t* name_starts, const int32_t* name_lens,
+    const int64_t* idx_n, const int64_t* counts,
+    const uint8_t* seq, int64_t lmax_s, const int32_t* slens,
+    const int64_t* idx_s,
+    const uint8_t* qual, int64_t lmax_q, const int32_t* qlens,
+    const int64_t* idx_q,
+    int64_t k_total, const int64_t* out_starts, uint8_t* out, int nthreads) {
+    if (nthreads <= 0) nthreads = hw_threads();
+    parallel_ranges(k_total, nthreads, [&](int64_t lo, int64_t hi, int) {
+        for (int64_t k = lo; k < hi; ++k) {
+            uint8_t* o = out + out_starts[k];
+            int64_t in = idx_n[k];
+            int32_t nl = name_lens[in];
+            memcpy(o, names + name_starts[in], nl);
+            o += nl;
+            if (counts) {
+                *o++ = '\t';
+                o = put_i64(o, counts[k]);
+            }
+            *o++ = '\n';
+            int64_t is = idx_s[k];
+            int32_t sl = slens[is];
+            memcpy(o, seq + is * lmax_s, sl);
+            o += sl;
+            *o++ = '\n';
+            *o++ = '+';
+            *o++ = '\n';
+            int64_t iq = idx_q[k];
+            int32_t ql = qlens[iq];
+            memcpy(o, qual + iq * lmax_q, ql);
+            o += ql;
+            *o++ = '\n';
+        }
+    });
+}
+
+// ---------------------------------------------------------------------------
 // Parallel gzip (multi-stream) compression: compress n_blocks independent
 // gzip members concurrently; concatenated members form a valid gzip file.
 // Caller provides per-block bounds; returns per-block compressed sizes.
@@ -528,7 +575,8 @@ int64_t ngs_mrle_encode_rows(const uint8_t* rows, const int32_t* lens,
 
 // 3-bit DNA rank packing for device sort keys (ranks . A C G N T = 1..6,
 // 0 = padding; ten ranks per uint32, first rank most significant). Doing
-// this on the host cuts device transfers 2.5x vs raw bytes.
+// this on the host cuts device transfers 2.5x vs raw bytes. Full words are
+// branchless straight-line lookups; only the final partial word bounds-checks.
 void ngs_dna3_pack(const uint8_t* seq, int64_t b, int64_t lmax,
                    int64_t words, uint32_t* out, int nthreads) {
     static uint8_t rank[256];
@@ -540,12 +588,28 @@ void ngs_dna3_pack(const uint8_t* seq, int64_t b, int64_t lmax,
         init = true;
     }
     if (nthreads <= 0) nthreads = hw_threads();
+    int64_t full = lmax / 10;  // words fully inside the row
+    if (full > words) full = words;
     parallel_ranges(b, nthreads, [&](int64_t lo, int64_t hi, int) {
         for (int64_t i = lo; i < hi; ++i) {
             const uint8_t* row = seq + i * lmax;
             uint32_t* o = out + i * words;
-            int64_t pos = 0;
-            for (int64_t w = 0; w < words; ++w) {
+            const uint8_t* p = row;
+            for (int64_t w = 0; w < full; ++w, p += 10) {
+                uint32_t acc = (uint32_t)rank[p[0]];
+                acc = (acc << 3) | rank[p[1]];
+                acc = (acc << 3) | rank[p[2]];
+                acc = (acc << 3) | rank[p[3]];
+                acc = (acc << 3) | rank[p[4]];
+                acc = (acc << 3) | rank[p[5]];
+                acc = (acc << 3) | rank[p[6]];
+                acc = (acc << 3) | rank[p[7]];
+                acc = (acc << 3) | rank[p[8]];
+                acc = (acc << 3) | rank[p[9]];
+                o[w] = acc;
+            }
+            int64_t pos = full * 10;
+            for (int64_t w = full; w < words; ++w) {
                 uint32_t acc = 0;
                 for (int k = 0; k < 10; ++k, ++pos) {
                     uint32_t r = (pos < lmax) ? rank[row[pos]] : 0;
@@ -555,6 +619,65 @@ void ngs_dna3_pack(const uint8_t* seq, int64_t b, int64_t lmax,
             }
         }
     });
+}
+
+// 256-slot byte-presence bitmap over a buffer (the alphabet check for the
+// 3-bit packing), parallel single pass. present[] is OR-accumulated.
+void ngs_byte_presence(const uint8_t* data, int64_t n, uint8_t* present,
+                       int nthreads) {
+    if (nthreads <= 0) nthreads = hw_threads();
+    nthreads = static_cast<int>(std::max<int64_t>(
+        1, std::min<int64_t>(nthreads, (n + (1 << 20) - 1) >> 20)));
+    std::vector<std::array<uint8_t, 256>> parts(nthreads);
+    for (auto& a : parts) a.fill(0);
+    parallel_ranges(n, nthreads, [&](int64_t lo, int64_t hi, int t) {
+        uint8_t* pr = parts[t].data();
+        for (int64_t i = lo; i < hi; ++i) pr[data[i]] = 1;
+    });
+    for (int t = 0; t < nthreads; ++t)
+        for (int j = 0; j < 256; ++j) present[j] |= parts[t][j];
+}
+
+// ---------------------------------------------------------------------------
+// Host QC histogram: the reference hot loop (fastq_count.c:106-133
+// AssignQuality/count_read) as a threaded single pass. Used by the
+// transfer-aware placement when the host<->device link is too thin to ship
+// the quality matrix (the device kernels are the default path). Semantics
+// mirror ops/count.qc_histograms exactly: cycles beyond n_len-1 and quality
+// bytes >= n_qual are dropped; the length histogram clips to n_len-1.
+// hist_q: u64 [n_len, n_qual] (cycle-major); hist_len: u64 [n_len]; both
+// ACCUMULATED INTO (caller zeroes or chains files).
+// ---------------------------------------------------------------------------
+void ngs_qc_hist(const uint8_t* qual, const int32_t* lens, int64_t b,
+                 int64_t lmax, int64_t n_qual, int64_t n_len,
+                 uint64_t* hist_q, uint64_t* hist_len, int nthreads) {
+    if (nthreads <= 0) nthreads = hw_threads();
+    nthreads = static_cast<int>(std::max<int64_t>(
+        1, std::min<int64_t>(nthreads, (b + 4095) / 4096)));
+    std::vector<std::vector<uint64_t>> part_q(
+        nthreads, std::vector<uint64_t>(n_len * n_qual, 0));
+    std::vector<std::vector<uint64_t>> part_l(
+        nthreads, std::vector<uint64_t>(n_len, 0));
+    int64_t col_cap = std::min(lmax, n_len);
+    parallel_ranges(b, nthreads, [&](int64_t lo, int64_t hi, int t) {
+        uint64_t* hq = part_q[t].data();
+        uint64_t* hl = part_l[t].data();
+        for (int64_t i = lo; i < hi; ++i) {
+            const uint8_t* row = qual + i * lmax;
+            int64_t len = lens[i];
+            int64_t lim = std::min(len, col_cap);
+            for (int64_t k = 0; k < lim; ++k) {
+                uint8_t q = row[k];
+                if (q < n_qual) ++hq[k * n_qual + q];
+            }
+            int64_t lbin = len < 0 ? 0 : (len >= n_len ? n_len - 1 : len);
+            ++hl[lbin];
+        }
+    });
+    for (int t = 0; t < nthreads; ++t) {
+        for (int64_t j = 0; j < n_len * n_qual; ++j) hist_q[j] += part_q[t][j];
+        for (int64_t j = 0; j < n_len; ++j) hist_len[j] += part_l[t][j];
+    }
 }
 
 // Per-row byte sums (quality sums for dedup representative selection);

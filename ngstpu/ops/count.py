@@ -102,29 +102,115 @@ def _use_pallas(B: int) -> bool:
         return False
 
 
+def _qc_placement() -> str:
+    """NGSTPU_QC = device | host | auto (default auto).
+
+    auto: the device kernels are the default; if a timed device batch shows
+    the host->device link running below NGSTPU_QC_BW_MIN MB/s (default 150 —
+    i.e. a tunneled/remote chip, not PCIe/ICI), later batches accumulate
+    host-side with the native threaded histogram instead. Both paths count
+    exactly; totals are merged, so placement never changes results.
+    """
+    import os
+
+    return os.environ.get("NGSTPU_QC", "auto")
+
+
+def _qc_bw_min() -> float:
+    import os
+
+    return float(os.environ.get("NGSTPU_QC_BW_MIN", "150")) * 1e6
+
+
+_LINK_VERDICT: list = []  # process-wide: [] = unmeasured, ["host"|"device"]
+
+
+def _link_verdict() -> str | None:
+    return _LINK_VERDICT[0] if _LINK_VERDICT else None
+
+
+def _probe_link(arr: np.ndarray) -> None:
+    """One-shot link-bandwidth measurement with an ~8MB device_put slice;
+    records the process-wide host/device placement verdict."""
+    import time as _time
+
+    rows = max(1, min(arr.shape[0], (8 << 20) // max(arr.shape[1], 1)))
+    probe = np.ascontiguousarray(arr[:rows])
+    t0 = _time.monotonic()
+    out = jax.device_put(probe)
+    out.block_until_ready()
+    # force the data round (block_until_ready can under-report through
+    # remote-device tunnels): pull one element back
+    _ = np.asarray(out[:1, :1])
+    dt = max(_time.monotonic() - t0, 1e-9)
+    _LINK_VERDICT.append("host" if probe.nbytes / dt < _qc_bw_min()
+                         else "device")
+
+
 class QCAccumulator:
-    """Accumulates device batch histograms into the C-layout totals."""
+    """Accumulates batch histograms into the C-layout totals.
+
+    Device accumulation (XLA/Pallas kernels, donated buffers) is the default;
+    see _qc_placement for the transfer-aware host fallback.
+    """
 
     def __init__(self):
         self._dev_q = jnp.zeros((N_CYCLE, N_QUAL), jnp.int32)  # [cycle, qual]
         self._dev_len = jnp.zeros((N_CYCLE,), jnp.int32)
         self._host_q: np.ndarray | None = None
         self._host_len: np.ndarray | None = None
+        self._acc_q: np.ndarray | None = None  # host-side partials
+        self._acc_len: np.ndarray | None = None
+        self._mode = _qc_placement()
+        self._n_dev_batches = 0
+
+    def _add_host(self, qual: np.ndarray, lens: np.ndarray,
+                  n_valid: int) -> bool:
+        from ..io.native import get_lib
+
+        lib = get_lib()
+        if lib is None:
+            return False
+        if self._acc_q is None:
+            self._acc_q = np.zeros((N_CYCLE, N_QUAL), np.uint64)
+            self._acc_len = np.zeros(N_CYCLE, np.uint64)
+        q = np.ascontiguousarray(qual[:n_valid])
+        l32 = np.ascontiguousarray(lens[:n_valid], np.int32)
+        if n_valid:
+            lib.ngs_qc_hist(q, l32, n_valid, q.shape[1], N_QUAL, N_CYCLE,
+                            self._acc_q, self._acc_len, 0)
+        self._host_q = None
+        return True
 
     def add_batch(self, qual: np.ndarray, lens: np.ndarray,
                   n_valid: int | None = None) -> None:
         if n_valid is None:
             n_valid = qual.shape[0]
+        mode = self._mode
+        if mode == "auto":
+            # probe the link once per process with an ~8MB put; tiny
+            # batches are RTT-dominated and skip the probe (device path)
+            if _link_verdict() is None and qual.nbytes >= (8 << 20):
+                _probe_link(qual)
+            mode = _link_verdict() or "device"
+        if mode == "host" and self._add_host(qual, lens, n_valid):
+            return
         self._host_q = None
         fn = _accumulate_pallas if _use_pallas(qual.shape[0]) else _accumulate
         self._dev_q, self._dev_len = fn(
             self._dev_q, self._dev_len, jnp.asarray(qual), jnp.asarray(lens),
             jnp.int32(n_valid))
+        self._n_dev_batches += 1
 
     def _materialize(self) -> None:
         if self._host_q is None:
-            self._host_q = np.asarray(self._dev_q).T.astype(np.int64)  # [qual, cycle]
-            self._host_len = np.asarray(self._dev_len).astype(np.int64)
+            dq = np.asarray(self._dev_q, dtype=np.int64)
+            dl = np.asarray(self._dev_len, dtype=np.int64)
+            if self._acc_q is not None:
+                dq = dq + self._acc_q.astype(np.int64)
+                dl = dl + self._acc_len.astype(np.int64)
+            self._host_q = dq.T  # [qual, cycle]
+            self._host_len = dl
 
     @property
     def quality(self) -> np.ndarray:

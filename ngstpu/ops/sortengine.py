@@ -35,6 +35,11 @@ def bytes_to_words(padded: jax.Array) -> jax.Array:
     return (w[..., 0] << 24) | (w[..., 1] << 16) | (w[..., 2] << 8) | w[..., 3]
 
 
+def bytes_to_words_host(padded: np.ndarray) -> np.ndarray:
+    """Host-side bytes_to_words (numpy big-endian view)."""
+    return np.ascontiguousarray(padded).view(">u4").astype(np.uint32)
+
+
 # DNA alphabet rank codes for 3-bit packing: 0 reserved for padding so
 # shorter-prefix rows sort first; ranks follow ASCII order of the bytes
 # ('.' < A < C < G < N < T) so packed-word order == byte-lex order.
@@ -44,16 +49,19 @@ for _i, _c in enumerate(b".ACGNT"):
 DNA3_ALPHABET = frozenset(b".ACGNT")
 
 
-def seq_words(padded_np: np.ndarray) -> jax.Array:
+def seq_words(padded_np: np.ndarray, dna3: bool | None = None) -> jax.Array:
     """Collation-preserving sort words for sequence bytes: 3-bit packed
     (3.3x narrower keys) when the data is plain DNA, raw bytes otherwise.
 
     The packing happens on the host (native threaded path) when possible:
     transferring [B, ceil(L/10)] uint32 words instead of [B, L] raw bytes
     cuts host->device traffic 2.5x — the dominant cost on PCIe-attached or
-    tunneled chips.
+    tunneled chips. `dna3` skips the alphabet re-scan when the caller has
+    already run is_dna3_compatible.
     """
-    if is_dna3_compatible(padded_np, None):
+    if dna3 is None:
+        dna3 = is_dna3_compatible(padded_np, None)
+    if dna3:
         from ..io.native import get_lib
 
         lib = get_lib()
@@ -66,6 +74,26 @@ def seq_words(padded_np: np.ndarray) -> jax.Array:
             return jnp.asarray(out)
         return dna3_words(jnp.asarray(padded_np))
     return bytes_to_words(jnp.asarray(padded_np))
+
+
+def seq_words_host(padded_np: np.ndarray, dna3: bool | None = None) -> np.ndarray:
+    """seq_words but kept on the host (for the distributed paths, which
+    device_put per-shard slices themselves)."""
+    if dna3 is None:
+        dna3 = is_dna3_compatible(padded_np, None)
+    if dna3:
+        from ..io.native import get_lib
+
+        lib = get_lib()
+        B, L = padded_np.shape
+        words = (L + 9) // 10
+        if lib is not None and B:
+            out = np.empty((B, words), dtype=np.uint32)
+            lib.ngs_dna3_pack(np.ascontiguousarray(padded_np), B, L, words,
+                              out, 0)
+            return out
+        return np.asarray(dna3_words(jnp.asarray(padded_np)))
+    return np.asarray(bytes_to_words(jnp.asarray(padded_np)))
 
 
 def sum_quality_host(qual_padded: np.ndarray) -> np.ndarray:
@@ -83,14 +111,26 @@ def sum_quality_host(qual_padded: np.ndarray) -> np.ndarray:
     return qual_padded.sum(axis=1, dtype=np.uint32)
 
 
+_DNA3_OK = np.zeros(256, dtype=bool)
+_DNA3_OK[0] = True
+for _c in DNA3_ALPHABET:
+    _DNA3_OK[_c] = True
+
+
 def is_dna3_compatible(padded: np.ndarray, lens: np.ndarray) -> bool:
-    """True if all valid bytes are in the 6-char DNA alphabet (host check)."""
-    present = np.bincount(padded.reshape(-1), minlength=256) > 0
-    ok = np.zeros(256, dtype=bool)
-    ok[0] = True
-    for c in DNA3_ALPHABET:
-        ok[c] = True
-    return bool((~present | ok).all())
+    """True if all valid bytes are in the 6-char DNA alphabet (host check,
+    native single-pass presence scan; numpy bincount fallback)."""
+    from ..io.native import get_lib
+
+    flat = padded.reshape(-1)
+    lib = get_lib()
+    if lib is not None and flat.flags.c_contiguous:
+        present = np.zeros(256, dtype=np.uint8)
+        if len(flat):
+            lib.ngs_byte_presence(flat, len(flat), present, 0)
+        return bool((~(present > 0) | _DNA3_OK).all())
+    present = np.bincount(flat, minlength=256) > 0
+    return bool((~present | _DNA3_OK).all())
 
 
 @jax.jit
@@ -137,6 +177,9 @@ def _lsd_perm(keys_msf: list[jax.Array]) -> jax.Array:
     B = keys_msf[0].shape[0]
     ks = jnp.stack([_order_u32(k) for k in reversed(keys_msf)])  # [P, B]
     perm0 = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
+    # inherit the keys' varying-manual-axes so the scan carry typechecks
+    # under shard_map (no-op outside: adding varying zeros)
+    perm0 = perm0 + (ks[0] * jnp.uint32(0)).astype(jnp.int32)
 
     def body(perm, key_row):
         k = jnp.take(key_row, perm)

@@ -42,15 +42,18 @@ def _hash_rows(words: jax.Array, lens: jax.Array) -> jax.Array:
 
 
 def exchange_by_hash(mesh: Mesh, pad_factor: float = 2.0):
-    """Build a jitted fn: (words [B,W], lens [B], sumq [B], valid [B]) ->
-    (r_words, r_lens, r_sumq, r_valid) with rows re-sharded by key hash.
+    """Build a jitted fn: (words [B,W], lens [B], sumq [B], idx [B],
+    valid [B]) -> (r_words, r_lens, r_sumq, r_idx, r_valid) with rows
+    re-sharded by key hash. `idx` carries each row's GLOBAL original index
+    through the shuffle so representative selection (max-sumQ, earliest
+    original index) stays bit-identical to the single-chip path.
 
     Shapes stay static: each shard sends exactly `cap` rows per peer
     (invalid filler rows carry valid=False).
     """
     n_dp = mesh.devices.size
 
-    def local(words, lens, sumq, valid):
+    def local(words, lens, sumq, gidx, valid):
         b, W = words.shape
         cap = int(pad_factor * b / n_dp) + 8
         h = _hash_rows(words, lens)
@@ -75,31 +78,148 @@ def exchange_by_hash(mesh: Mesh, pad_factor: float = 2.0):
         sw = scatter(words, 0)
         sl = scatter(lens, 0)
         sq = scatter(sumq, 0)
+        si = scatter(gidx, 0)
         sv = scatter(valid.astype(jnp.int32), 0)
 
         rw = jax.lax.all_to_all(sw, "dp", 0, 0, tiled=False)
         rl = jax.lax.all_to_all(sl, "dp", 0, 0, tiled=False)
         rq = jax.lax.all_to_all(sq, "dp", 0, 0, tiled=False)
+        ri = jax.lax.all_to_all(si, "dp", 0, 0, tiled=False)
         rv = jax.lax.all_to_all(sv, "dp", 0, 0, tiled=False)
         m = n_dp * cap
         return (rw.reshape((m,) + words.shape[1:]), rl.reshape(m),
-                rq.reshape(m), rv.reshape(m) == 1)
+                rq.reshape(m), ri.reshape(m), rv.reshape(m) == 1)
 
     fn = shard_map(local, mesh=mesh,
-                   in_specs=(P("dp", None), P("dp"), P("dp"), P("dp")),
-                   out_specs=(P("dp", None), P("dp"), P("dp"), P("dp")))
+                   in_specs=(P("dp", None), P("dp"), P("dp"), P("dp"), P("dp")),
+                   out_specs=(P("dp", None), P("dp"), P("dp"), P("dp"), P("dp")))
     return jax.jit(fn)
+
+
+def _lex_gt_key(rows, key):
+    """rows [b, C] > key [C] lexicographically (strict), vectorized."""
+    import jax.numpy as _jnp
+
+    gt = _jnp.zeros(rows.shape[0], bool)
+    eq = _jnp.ones(rows.shape[0], bool)
+    for c in range(rows.shape[1]):
+        gt = gt | (eq & (rows[:, c] > key[c]))
+        eq = eq & (rows[:, c] == key[c])
+    return gt
+
+
+def distributed_sort(mesh: Mesh, words: np.ndarray, lens: np.ndarray,
+                     length_first: bool = True, pad_factor: float = 2.0
+                     ) -> np.ndarray:
+    """Splitter-based distributed ordered sort (sample sort) over 'dp'.
+
+    The multi-chip gzfastq_sort: per-shard LSD sort, regular sampling,
+    all_gather'd splitter selection, bucket all_to_all exchange, per-shard
+    re-sort — concatenated shards are globally sorted. Returns perm: the
+    ORIGINAL row indices in global key order, identical to the single-chip
+    lex_argsort(words, lens, length_first) (the original index rides the
+    key as the final column, so ties resolve exactly like the stable sort).
+    """
+    from ..ops.sortengine import _lsd_perm
+
+    n_dp = mesh.devices.size
+    B, W = words.shape
+    pad = (-B) % n_dp
+    if pad:
+        words = np.pad(words, ((0, pad), (0, 0)))
+        lens = np.pad(lens, (0, pad))
+    gidx = np.arange(len(lens), dtype=np.int32)
+    valid = gidx < B
+    # Round-robin re-shard: shard d gets rows d, d+n_dp, ... Contiguous
+    # sharding breaks the sample-sort cap invariant when keys correlate
+    # with input position (e.g. name sorts of sequentially named reads):
+    # one sender then routes its WHOLE slice to one bucket. Interleaving
+    # bounds every sender's per-bucket load at ~(global run)/n_dp. gidx
+    # still carries the original index, so the returned perm is unaffected.
+    rr = np.arange(len(lens)).reshape(-1, n_dp).T.reshape(-1)
+    words, lens, gidx, valid = words[rr], lens[rr], gidx[rr], valid[rr]
+
+    def local(words, lens, gidx, valid):
+        b = words.shape[0]
+        cap = int(pad_factor * b / n_dp) + 8
+        cols = [(~valid).astype(jnp.uint32)]
+        if length_first:
+            cols.append(lens.astype(jnp.uint32))
+        cols.extend(words[:, w] for w in range(W))
+        cols.append(gidx.astype(jnp.uint32))
+        K = jnp.stack(cols, axis=1)  # [b, C]; unique rows (gidx column)
+        C = K.shape[1]
+        perm = _lsd_perm([K[:, c] for c in range(C)])
+        sK = jnp.take(K, perm, axis=0)
+        sv = jnp.take(valid, perm)
+
+        # regular samples of the locally sorted rows -> global splitters
+        samp_pos = (jnp.arange(n_dp, dtype=jnp.int32) * b) // n_dp
+        samples = jnp.take(sK, samp_pos, axis=0)
+        allsamp = jax.lax.all_gather(samples, "dp", axis=0, tiled=True)
+        sperm = _lsd_perm([allsamp[:, c] for c in range(C)])
+        s_sorted = jnp.take(allsamp, sperm, axis=0)
+        spl_pos = jnp.arange(1, n_dp, dtype=jnp.int32) * n_dp - 1
+        splitters = jnp.take(s_sorted, spl_pos, axis=0)  # [n_dp-1, C]
+
+        # bucket = number of splitters strictly below the row; monotone
+        # over the sorted rows, so in-bucket position is index arithmetic
+        bucket = jnp.zeros(b, jnp.int32)
+        for s in range(n_dp - 1):
+            bucket = bucket + _lex_gt_key(sK, splitters[s]).astype(jnp.int32)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (b,), 0)
+        pos = idx - jnp.searchsorted(bucket, bucket, side="left")
+        ok = (pos < cap) & sv
+        dest = jnp.where(ok, bucket * cap + pos, n_dp * cap)
+
+        def scatter(x, fill):
+            flat = jnp.full((n_dp * cap + 1,) + x.shape[1:], fill, x.dtype)
+            flat = flat.at[dest].set(x)
+            return flat[:-1].reshape((n_dp, cap) + x.shape[1:])
+
+        sKx = scatter(sK, 0)
+        svx = scatter(sv.astype(jnp.int32), 0)
+        rK = jax.lax.all_to_all(sKx, "dp", 0, 0, tiled=False)
+        rv = jax.lax.all_to_all(svx, "dp", 0, 0, tiled=False)
+        m = n_dp * cap
+        rK = rK.reshape(m, C)
+        rv = rv.reshape(m) == 1
+        # final per-shard sort; invalid filler rows forced last
+        rK = rK.at[:, 0].set((~rv).astype(jnp.uint32))
+        perm2 = _lsd_perm([rK[:, c] for c in range(C)])
+        out_idx = jnp.take(rK[:, C - 1], perm2)
+        out_valid = jnp.take(rv, perm2)
+        return out_idx.astype(jnp.int32), out_valid
+
+    fn = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("dp", None), P("dp"), P("dp"), P("dp")),
+        out_specs=(P("dp"), P("dp"))))
+    with mesh:
+        sharding = NamedSharding(mesh, P("dp", None))
+        shard1 = NamedSharding(mesh, P("dp"))
+        oi, ov = fn(jax.device_put(words, sharding),
+                    jax.device_put(lens.astype(np.int32), shard1),
+                    jax.device_put(gidx, shard1),
+                    jax.device_put(valid, shard1))
+        oi, ov = np.asarray(oi), np.asarray(ov)
+    if int(ov.sum()) != B:
+        raise RuntimeError(
+            f"bucket overflow: kept {int(ov.sum())} of {B} rows — "
+            f"increase pad_factor")
+    return oi[ov].astype(np.int64)
 
 
 def distributed_dedup(mesh: Mesh, words: np.ndarray, lens: np.ndarray,
                       sumq: np.ndarray, pad_factor: float = 2.0):
     """Full-array entry: shard, exchange, local dedup per shard.
 
-    Returns (rep_indices, counts) as host arrays (key-sorted within each
-    hash shard, then merged by key on host for global order). Row indices
-    refer to positions in the RESHUFFLED arrays, so callers needing
-    original indices pass an index column through sumq-style side arrays;
-    here we return keys+counts for verification/use by stats consumers.
+    Returns (keys, klens, counts, rep) as host arrays in GLOBAL key-sorted
+    order (key-sorted within each hash shard, then host-merged by key).
+    `rep` holds each group's representative as an ORIGINAL row index —
+    the first occurrence achieving the maximum quality sum, bit-identical
+    to the single-chip dedup_groups result (the global index rides the
+    all_to_all and received rows are re-ordered by it before local dedup).
     """
     from ..ops.sortengine import dedup_groups
 
@@ -111,15 +231,16 @@ def distributed_dedup(mesh: Mesh, words: np.ndarray, lens: np.ndarray,
         lens = np.pad(lens, (0, pad))
         sumq = np.pad(sumq, (0, pad))
     valid = np.arange(len(lens)) < B
+    gidx = np.arange(len(lens), dtype=np.int32)
 
     ex = exchange_by_hash(mesh, pad_factor)
     with mesh:
         args = [jax.device_put(a, NamedSharding(mesh, P("dp", *([None] * (a.ndim - 1)))))
                 for a in (words, lens.astype(np.int32),
-                          sumq.astype(np.uint32), valid)]
-        rw, rl, rq, rv = ex(*args)
-        rw, rl, rq, rv = (np.asarray(rw), np.asarray(rl), np.asarray(rq),
-                          np.asarray(rv))
+                          sumq.astype(np.uint32), gidx, valid)]
+        rw, rl, rq, ri, rv = ex(*args)
+        rw, rl, rq, ri, rv = (np.asarray(rw), np.asarray(rl), np.asarray(rq),
+                              np.asarray(ri), np.asarray(rv))
 
     # received row count sanity (overflow detection)
     if int(rv.sum()) != B:
@@ -129,12 +250,14 @@ def distributed_dedup(mesh: Mesh, words: np.ndarray, lens: np.ndarray,
 
     # local dedup per shard slice
     per = rw.shape[0] // n_dp
-    out_keys, out_counts, out_lens = [], [], []
+    out_keys, out_counts, out_lens, out_rep = [], [], [], []
     for d in range(n_dp):
         sl = slice(d * per, (d + 1) * per)
         v = rv[sl]
-        order = np.argsort(~v, kind="stable")  # valid rows first
-        wd, ld, qd = rw[sl][order], rl[sl][order], rq[sl][order]
+        # valid rows first, in ORIGINAL global order: the stable sort's
+        # index tiebreak then matches the single-chip path exactly
+        order = np.lexsort((ri[sl], ~v))
+        wd, ld, qd, gd = rw[sl][order], rl[sl][order], rq[sl][order], ri[sl][order]
         nv = int(v.sum())
         if nv == 0:
             continue
@@ -144,13 +267,16 @@ def distributed_dedup(mesh: Mesh, words: np.ndarray, lens: np.ndarray,
         out_keys.append(wd[heads_sorted])
         out_lens.append(ld[heads_sorted])
         out_counts.append(g["counts"])
+        out_rep.append(gd[heads_sorted])
     if not out_keys:
         return (np.zeros((0, words.shape[1]), words.dtype),
-                np.zeros(0, np.int32), np.zeros(0, np.int64))
+                np.zeros(0, np.int32), np.zeros(0, np.int64),
+                np.zeros(0, np.int64))
     keys = np.concatenate(out_keys)
     klens = np.concatenate(out_lens)
     counts = np.concatenate(out_counts)
+    rep = np.concatenate(out_rep).astype(np.int64)
     # global key order: host lexsort over (words..., len)
     order = np.lexsort(tuple([klens] + [keys[:, w]
                                         for w in range(keys.shape[1] - 1, -1, -1)]))
-    return keys[order], klens[order], counts[order]
+    return keys[order], klens[order], counts[order], rep[order]

@@ -18,13 +18,16 @@ import numpy as np
 from jax.sharding import Mesh
 
 
-def make_mesh(n_devices: int | None = None, coord: int = 1) -> Mesh:
+def make_mesh(n_devices: int | None = None, coord: int | None = None) -> Mesh:
+    """1D ('dp',) mesh by default; any explicit `coord` (including 1) makes
+    a 2D ('dp', 'coord') mesh so shard_maps addressing both axes always
+    typecheck regardless of the coordinate-axis width."""
     devs = jax.devices()
     n = len(devs) if n_devices is None else n_devices
     if n > len(devs):
         raise ValueError(f"requested {n} devices, have {len(devs)}")
     devs = devs[:n]
-    if coord > 1:
+    if coord is not None:
         if n % coord:
             raise ValueError(f"n={n} not divisible by coord={coord}")
         arr = np.array(devs).reshape(n // coord, coord)

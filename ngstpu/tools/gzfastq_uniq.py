@@ -39,9 +39,27 @@ def _pad4(n: int) -> int:
 
 
 def dedup_device(seq_padded: np.ndarray, lens: np.ndarray,
-                 sumq: jnp.ndarray):
+                 sumq: jnp.ndarray, mesh_n: int = 0):
     """Run the device dedup; returns host arrays (heads in key-sorted order):
-    (rep_idx, counts, n_groups)."""
+    (rep_idx, counts, n_groups).
+
+    mesh_n > 1 shards the dedup across a `dp` device mesh (hash-bucket
+    all_to_all + per-shard sort; parallel/dsort.py) — output is
+    bit-identical to the single-chip path.
+    """
+    if mesh_n > 1:
+        import jax
+
+        from ..parallel.dsort import distributed_dedup
+        from ..parallel.mesh import make_mesh
+
+        n = min(mesh_n, len(jax.devices()))
+        if n > 1:
+            mesh = make_mesh(n)
+            words = np.asarray(seq_words(seq_padded))
+            _, _, counts, rep = distributed_dedup(
+                mesh, words, np.asarray(lens, np.int32), np.asarray(sumq))
+            return rep, counts, len(counts)
     words = seq_words(seq_padded)
     g = dedup_groups(words, jnp.asarray(lens), sumq, len(lens),
                      length_first=False)
@@ -50,6 +68,20 @@ def dedup_device(seq_padded: np.ndarray, lens: np.ndarray,
 
 def _emit(out, batch, rep: np.ndarray, counts: np.ndarray,
           seq_override=None, lens_override=None) -> None:
+    from ..io.native import format_fastq_take
+
+    if len(rep):
+        seq = batch.seq if seq_override is None else seq_override
+        slens = batch.lens if lens_override is None else lens_override
+        idx_s = (rep if seq_override is None
+                 else np.arange(len(rep), dtype=np.int64))
+        text = format_fastq_take(batch.names, batch.name_starts,
+                                 batch.name_lens, rep, counts,
+                                 seq, slens, idx_s,
+                                 batch.qual, batch.lens, rep)
+        if text is not None:
+            out.write(text)
+            return
     for lo in range(0, len(rep), OUT_CHUNK):
         idx = rep[lo:lo + OUT_CHUNK]
         sub = batch.take(idx)
@@ -61,10 +93,11 @@ def _emit(out, batch, rep: np.ndarray, counts: np.ndarray,
                                qual_lens=sub.lens, count_suffix=suffix))
 
 
-def run_se(read1: str, outfile: str, timer: StageTimer) -> None:
+def run_se(read1: str, outfile: str, timer: StageTimer,
+           mesh_n: int = 0) -> None:
     batch = read_fastq_file(read1)
     sumq = jnp.asarray(sum_quality_host(batch.qual))
-    rep, counts, n_groups = dedup_device(batch.seq, batch.lens, sumq)
+    rep, counts, n_groups = dedup_device(batch.seq, batch.lens, sumq, mesh_n)
     n = batch.n
     sys.stderr.write(
         f"unique reads number = {n_groups}({n_groups} / {n} = "
@@ -101,7 +134,8 @@ def run_se(read1: str, outfile: str, timer: StageTimer) -> None:
             out2.flush()
 
 
-def run_pe(read1: str, read2: str, outfile: str, timer: StageTimer) -> None:
+def run_pe(read1: str, read2: str, outfile: str, timer: StageTimer,
+           mesh_n: int = 0) -> None:
     b1 = read_fastq_file(read1)
     b2 = read_fastq_file(read2)
     if b1.n != b2.n:
@@ -114,7 +148,7 @@ def run_pe(read1: str, read2: str, outfile: str, timer: StageTimer) -> None:
     key_lens = (b1.lens[:n].astype(np.int64) + b2.lens[:n].astype(np.int64)).astype(np.int32)
     sumq = jnp.asarray(sum_quality_host(np.ascontiguousarray(b1.qual[:n]))
                        + sum_quality_host(np.ascontiguousarray(b2.qual[:n])))
-    rep, counts, n_groups = dedup_device(key, key_lens, sumq)
+    rep, counts, n_groups = dedup_device(key, key_lens, sumq, mesh_n)
     sys.stderr.write(
         f"unique reads number = {n_groups}({n_groups} / {n} = "
         f"{100.0 * n_groups / n:.3f}%)\n" if n else "")
@@ -146,10 +180,13 @@ def run_pe(read1: str, read2: str, outfile: str, timer: StageTimer) -> None:
 def main(argv: list[str]) -> int:
     timer = StageTimer()
     read1, read2, outfile = "-", None, "-"
+    import os
+
+    mesh_n = int(os.environ.get("NGSTPU_MESH", "0"))
     if not argv:
         _usage()
         return 1
-    opts, _ = getopt.gnu_getopt(argv, "1:2:o:h?")
+    opts, _ = getopt.gnu_getopt(argv, "1:2:o:m:h?")
     for flag, val in opts:
         if flag == "-1":
             read1 = val
@@ -157,20 +194,25 @@ def main(argv: list[str]) -> int:
             read2 = val
         elif flag == "-o":
             outfile = val
+        elif flag == "-m":
+            mesh_n = int(val)
         elif flag in ("-h", "-?"):
             _usage()
             return 1
     if read2:
-        run_pe(read1, read2, outfile, timer)
+        run_pe(read1, read2, outfile, timer, mesh_n)
     else:
-        run_se(read1, outfile, timer)
+        run_se(read1, outfile, timer, mesh_n)
     timer.log("Finished  at %.3f s\n")
     return 0
 
 
 def _usage() -> None:
     sys.stderr.write(
-        "Usage: ngstpu gzfastq_uniq [-1 READ1] [-2 READ2] [-o OUTFILE] [-h]\n"
+        "Usage: ngstpu gzfastq_uniq [-1 READ1] [-2 READ2] [-o OUTFILE]"
+        " [-m MESH] [-h]\n"
         "   [-1 READ1]  = fastq formated file1.   [required]\n"
         "   [-2 READ2]  = fastq formated file2.   [option]\n"
-        "   [-o OUTPUT] = OUTPUT file.            [required]\n")
+        "   [-o OUTPUT] = OUTPUT file.            [required]\n"
+        "   [-m MESH]   = shard the dedup over a MESH-device dp mesh"
+        " (ngstpu extension; env NGSTPU_MESH).\n")

@@ -52,7 +52,7 @@ def run(infile: str, prefix: str, start: int, end: int,
                       chunk.n)
         sumq_parts.append(sum_quality_host(chunk.qual))
         if all_dna3 and is_dna3_compatible(chunk.seq, None):
-            word_chunks.append(seq_words(chunk.seq))
+            word_chunks.append(seq_words(chunk.seq, dna3=True))
         else:
             all_dna3 = False
         batches.append(chunk)

@@ -72,3 +72,37 @@ def test_parity_output_file(tmp_path):
     if ref is None:
         pytest.skip("no C toolchain")
     assert out1.read_text() == out2.read_text()
+
+
+def test_host_qc_placement_matches_device(monkeypatch):
+    """The transfer-aware host histogram (ngs_qc_hist) must count exactly
+    like the device kernels, including >=128 quality-byte drops, length
+    clipping at 512 cycles, and mixed device+host accumulation."""
+    from ngstpu.io import native
+    from ngstpu.ops.count import QCAccumulator
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    B, L = 4000, 128
+    qual = rng.integers(33, 120, (B, L)).astype(np.uint8)
+    qual[::97, 5] = 200  # dropped by both paths
+    lens = rng.integers(0, L + 1, B).astype(np.int32)
+    qual = np.where(np.arange(L)[None, :] < lens[:, None], qual, 0).astype(np.uint8)
+
+    monkeypatch.setenv("NGSTPU_QC", "device")
+    a = QCAccumulator()
+    a.add_batch(qual, lens)
+    monkeypatch.setenv("NGSTPU_QC", "host")
+    b = QCAccumulator()
+    b.add_batch(qual, lens)
+    assert np.array_equal(a.quality, b.quality)
+    assert np.array_equal(a.seq_len, b.seq_len)
+
+    monkeypatch.setenv("NGSTPU_QC", "device")
+    c = QCAccumulator()
+    c.add_batch(qual[:2000], lens[:2000])
+    c._mode = "host"
+    c.add_batch(qual[2000:], lens[2000:])
+    assert np.array_equal(a.quality, c.quality)
+    assert np.array_equal(a.seq_len, c.seq_len)

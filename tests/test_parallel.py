@@ -110,7 +110,7 @@ def test_distributed_dedup_matches_local():
     g = dedup_groups(jnp.asarray(words), jnp.asarray(lens),
                      jnp.asarray(sumq), B)
     mesh = make_mesh(8)
-    keys, klens, counts = distributed_dedup(mesh, words, lens, sumq)
+    keys, klens, counts, rep = distributed_dedup(mesh, words, lens, sumq)
     assert len(counts) == g["n_groups"]
     assert counts.sum() == B
     # same multiset of (key, count)
@@ -120,3 +120,11 @@ def test_distributed_dedup_matches_local():
                                             local_counts.tolist()))
     b = sorted((tuple(k), c) for k, c in zip(keys.tolist(), counts.tolist()))
     assert a == b
+    # representative ORIGINAL indices must match the single-chip dedup
+    # exactly (max-sumQ, earliest-original-index tiebreak survives the
+    # all_to_all shuffle), in identical global key order
+    local_order = np.lexsort(tuple([lens[g["rep"]]] +
+                                   [local_keys[:, w]
+                                    for w in range(words.shape[1] - 1, -1, -1)]))
+    assert np.array_equal(rep, g["rep"][local_order])
+    assert np.array_equal(counts, local_counts[local_order])

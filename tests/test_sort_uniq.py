@@ -126,3 +126,51 @@ def test_host_dedup_spill_path_matches_device(tmp_path, monkeypatch):
     assert (g_dev["perm"] == g_host["perm"]).all()
     assert (g_dev["counts"] == g_host["counts"]).all()
     assert (g_dev["rep"] == g_host["rep"]).all()
+
+
+def test_uniq_mesh_bit_identical(tmp_path):
+    """gzfastq_uniq -m N (distributed dedup over the dp mesh) must produce
+    byte-identical output files to the single-chip run."""
+    data = random_fastq(3000, read_len=80, var_len=True, seed=77,
+                        dup_frac=0.5)
+    p = tmp_path / "in.fq"
+    p.write_bytes(data)
+    rc = cli_main(["gzfastq_uniq", "-1", str(p), "-o", str(tmp_path / "one")])
+    assert rc == 0
+    rc = cli_main(["gzfastq_uniq", "-1", str(p), "-o", str(tmp_path / "mesh"),
+                   "-m", "8"])
+    assert rc == 0
+    assert (tmp_path / "one_uniq.fq").read_bytes() == \
+        (tmp_path / "mesh_uniq.fq").read_bytes()
+    assert (tmp_path / "one_sortKeyUniq.fq").read_bytes() == \
+        (tmp_path / "mesh_sortKeyUniq.fq").read_bytes()
+
+
+def test_uniq_mesh_pe_bit_identical(tmp_path):
+    d1, d2 = random_fastq_pair(2000, read_len=60, seed=78, dup_frac=0.4)
+    p1, p2 = tmp_path / "r1.fq", tmp_path / "r2.fq"
+    p1.write_bytes(d1)
+    p2.write_bytes(d2)
+    cli_main(["gzfastq_uniq", "-1", str(p1), "-2", str(p2), "-o",
+              str(tmp_path / "one")])
+    cli_main(["gzfastq_uniq", "-1", str(p1), "-2", str(p2), "-o",
+              str(tmp_path / "mesh"), "-m", "4"])
+    for suf in ("_1_uniq.fq", "_2_uniq.fq"):
+        assert (tmp_path / ("one" + suf)).read_bytes() == \
+            (tmp_path / ("mesh" + suf)).read_bytes()
+
+
+def test_sort_mesh_bit_identical(tmp_path):
+    """gzfastq_sort -m N (splitter-based distributed sample sort) must be
+    byte-identical to the single-chip sort, for both comparators."""
+    data = random_fastq(4000, read_len=70, var_len=True, seed=79,
+                        dup_frac=0.4, with_comment=True)
+    p = tmp_path / "in.fq"
+    p.write_bytes(data)
+    for flag, suffix in (("-s", "_sort_by_seq.fq"), ("-n", "_sort_by_name.fq")):
+        cli_main(["gzfastq_sort", "-i", str(p), flag, "-o",
+                  str(tmp_path / "one")])
+        cli_main(["gzfastq_sort", "-i", str(p), flag, "-o",
+                  str(tmp_path / "mesh"), "-m", "8"])
+        assert (tmp_path / ("one" + suffix)).read_bytes() == \
+            (tmp_path / ("mesh" + suffix)).read_bytes(), flag
