@@ -74,6 +74,90 @@ def truncated_key(seq: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.nda
     return key, key_lens
 
 
+# FastQC's shipped adapter list (Configuration/adapter_list.txt upstream);
+# an ngstpu extension beyond the reference R script (ROADMAP item 5).
+ADAPTERS: tuple[tuple[str, bytes], ...] = (
+    ("Illumina Universal Adapter", b"AGATCGGAAGAG"),
+    ("Illumina Small RNA 3' Adapter", b"TGGAATTCTCGG"),
+    ("Illumina Small RNA 5' Adapter", b"GATCGTCGGACT"),
+    ("Nextera Transposase Sequence", b"CTGTCTCTTATA"),
+    ("SOLID Small RNA Adapter", b"CGCCTTGGCCGT"),
+)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def adapter_content(seq: jax.Array, lens: jax.Array, n_valid: jax.Array,
+                    adapters: jax.Array, k: int = 12) -> jax.Array:
+    """Cumulative adapter content, FastQC-style.
+
+    seq uint8 [B, L]; adapters uint8 [A, k]. Returns int32 [A, L]:
+    entry [a, i] = number of valid reads where adapter a matches starting
+    at some cycle <= i (exact k-mer match, fully inside the read). The
+    FastQC chart is this divided by the read count.
+    """
+    B, L = seq.shape
+    A = adapters.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    window_ok = (col + k <= lens[:, None]) & (row < n_valid)
+
+    counts = []
+    for a in range(A):
+        m = jnp.ones((B, L), bool)
+        for j in range(k):
+            # seq shifted left by j: position i compares seq[:, i+j]
+            shifted = jnp.pad(seq[:, j:], ((0, 0), (0, j)))
+            m = m & (shifted == adapters[a, j])
+        m = m & window_ok
+        seen = jax.lax.cummax(m.astype(jnp.int32), axis=1)
+        counts.append(jnp.sum(seen, axis=0, dtype=jnp.int32))
+    return jnp.stack(counts)
+
+
+def adapter_content_numpy(seq_list: list[bytes],
+                          adapters=ADAPTERS, max_len: int = 0) -> np.ndarray:
+    """Brute-force oracle for tests."""
+    L = max_len or max((len(s) for s in seq_list), default=1)
+    out = np.zeros((len(adapters), L), dtype=np.int64)
+    for a, (_, ad) in enumerate(adapters):
+        k = len(ad)
+        for s in seq_list:
+            first = None
+            for i in range(len(s) - k + 1):
+                if s[i:i + k] == ad:
+                    first = i
+                    break
+            if first is not None:
+                out[a, first:] += 1
+    return out
+
+
+def overrepresented(key: np.ndarray, key_lens: np.ndarray,
+                    counts: np.ndarray, rep: np.ndarray, n_reads: int,
+                    threshold: float = 0.001, limit: int = 20
+                    ) -> list[tuple[bytes, int, float]]:
+    """FastQC's overrepresented-sequences table (ngstpu extension): the
+    dedup keys (first-50bp rule, truncated_key) occurring in more than
+    `threshold` of reads, most frequent first, capped at `limit` rows.
+
+    key/key_lens: the dedup key matrix; counts/rep: group sizes and
+    representative ORIGINAL indices from dedup_groups.
+    """
+    if n_reads == 0 or len(counts) == 0:
+        return []
+    min_count = max(int(np.floor(threshold * n_reads)) + 1, 2)
+    hot = np.flatnonzero(counts >= min_count)
+    if len(hot) == 0:
+        return []
+    order = hot[np.argsort(counts[hot], kind="stable")[::-1]][:limit]
+    rows = []
+    for g in order:
+        i = int(rep[g])
+        s = key[i, : int(key_lens[i])].tobytes()
+        rows.append((s, int(counts[g]), counts[g] * 100.0 / n_reads))
+    return rows
+
+
 def fastqc_stats_numpy(seq_list: list[bytes], qual_list: list[bytes]):
     """Reference-semantics oracle for tests (direct port)."""
     quality = np.zeros((128, MAX_LEN), dtype=np.int64)

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from ..io.fastq import read_fastq_file
 from ..io.native import concat_pairs
-from ..ops.fastqc import MAX_LEN, fastqc_stats, truncated_key
+from ..ops.fastqc import (ADAPTERS, MAX_LEN, adapter_content, fastqc_stats,
+                          overrepresented, truncated_key)
 from ..ops.sortengine import dedup_groups, seq_words
 from ..utils.png import Canvas, write_png
 from ..utils.timing import StageTimer
@@ -36,7 +37,8 @@ def mate_stats(batch):
     return {k: np.asarray(v) for k, v in res.items()}
 
 
-def dup_counts(b1, b2=None) -> np.ndarray:
+def dup_groups(b1, b2=None):
+    """Dedup over the truncated key; returns (counts, rep, key, key_lens)."""
     k1, l1 = truncated_key(b1.seq, b1.lens)
     if b2 is not None:
         k2, l2 = truncated_key(b2.seq, b2.lens)
@@ -48,7 +50,7 @@ def dup_counts(b1, b2=None) -> np.ndarray:
     g = dedup_groups(seq_words(key), jnp.asarray(key_lens),
                      jnp.zeros(len(key_lens), jnp.uint32), len(key_lens),
                      length_first=False)
-    return np.sort(g["counts"])[::-1]
+    return g["counts"], g["rep"], key, key_lens
 
 
 def _write_matrix(path: str, mat: np.ndarray, row_names=None,
@@ -156,7 +158,25 @@ def run(out_prefix: str, fq1: str, fq2: str | None) -> None:
         _chart_lines(f"{out_prefix}_length_mate{idx}.png",
                      {"len": st["len_hist"]})
 
-    dups = dup_counts(b1, b2)
+        # adapter content (FastQC module; ngstpu extension over Rfastqc.R)
+        ad = np.frombuffer(b"".join(a for _, a in ADAPTERS),
+                           np.uint8).reshape(len(ADAPTERS), -1)
+        ac = np.asarray(adapter_content(jnp.asarray(b.seq),
+                                        jnp.asarray(b.lens),
+                                        jnp.int32(b.n), jnp.asarray(ad)))
+        Lb = b.seq.shape[1]
+        with open(f"{out_prefix}_adapter_mate{idx}.tsv", "w") as f:
+            f.write("#cycle\t" + "\t".join(n for n, _ in ADAPTERS) + "\n")
+            for i in range(Lb):
+                f.write(f"{i + 1}\t" + "\t".join(
+                    f"{ac[a, i] * 100.0 / max(b.n, 1):.4f}"
+                    for a in range(len(ADAPTERS))) + "\n")
+        _chart_lines(f"{out_prefix}_adapter_mate{idx}.png",
+                     {name.split()[0] + str(a): ac[a]
+                      for a, (name, _) in enumerate(ADAPTERS)})
+
+    counts, rep, key, key_lens = dup_groups(b1, b2)
+    dups = np.sort(counts)[::-1]
     levels = np.bincount(np.minimum(dups, 100))
     with open(f"{out_prefix}_duplication.tsv", "w") as f:
         uniq_pct = (len(dups) / b1.n * 100) if b1.n else 0.0
@@ -165,6 +185,13 @@ def run(out_prefix: str, fq1: str, fq2: str | None) -> None:
             if levels[lvl]:
                 f.write(f"{lvl}\t{int(levels[lvl])}\n")
     _chart_lines(f"{out_prefix}_duplication.png", {"dup": levels[1:]})
+
+    # overrepresented sequences (FastQC module; >0.1% of reads)
+    rows = overrepresented(key, key_lens, counts, rep, b1.n)
+    with open(f"{out_prefix}_overrepresented.tsv", "w") as f:
+        f.write("#sequence\tcount\tpercentage\n")
+        for s_, c, pct in rows:
+            f.write(f"{s_.decode('latin-1')}\t{c}\t{pct:.4f}\n")
     timer.log("Finished at %.3f s\n")
 
 

@@ -52,3 +52,52 @@ def test_fastqc_cli(tmp_path, monkeypatch):
         f = tmp_path / ("qc" + sfx)
         assert f.exists() and f.stat().st_size > 0, sfx
     assert (tmp_path / "qc_quality_heatmap_mate1.png").read_bytes()[:4] == b"\x89PNG"
+
+
+def test_adapter_content_matches_oracle():
+    from ngstpu.ops.fastqc import ADAPTERS, adapter_content, adapter_content_numpy
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    B, L = 400, 80
+    seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), (B, L))
+    lens = rng.integers(20, L + 1, B).astype(np.int32)
+    # plant adapters at random offsets in some reads
+    ad = ADAPTERS[0][1]
+    for i in range(0, B, 7):
+        off = int(rng.integers(0, lens[i] - len(ad))) if lens[i] > len(ad) else 0
+        if off + len(ad) <= lens[i]:
+            seq[i, off:off + len(ad)] = np.frombuffer(ad, np.uint8)
+    seq = np.where(np.arange(L)[None, :] < lens[:, None], seq, 0).astype(np.uint8)
+
+    adm = np.frombuffer(b"".join(a for _, a in ADAPTERS),
+                        np.uint8).reshape(len(ADAPTERS), -1)
+    got = np.asarray(adapter_content(jnp.asarray(seq), jnp.asarray(lens),
+                                     jnp.int32(B), jnp.asarray(adm)))
+    seqs = [seq[i, :lens[i]].tobytes() for i in range(B)]
+    want = adapter_content_numpy(seqs, max_len=L)
+    assert np.array_equal(got, want)
+
+
+def test_overrepresented_table(tmp_path):
+    from ngstpu.tools.fastqc import run
+
+    rng = np.random.default_rng(12)
+    hot = b"ACGTACGTACGTACGTACGTACGTACGTACGTACGTACGT"  # 40bp, < 50 key limit
+    recs = []
+    for i in range(1000):
+        if i % 5 == 0:
+            s = hot
+        else:
+            s = rng.choice(np.frombuffer(b"ACGT", np.uint8), 40).tobytes()
+        recs.append(b"@r%d\n%s\n+\n%s\n" % (i, s, b"I" * len(s)))
+    p = tmp_path / "a.fq"
+    p.write_bytes(b"".join(recs))
+    run(str(tmp_path / "qc"), str(p), None)
+    rows = (tmp_path / "qc_overrepresented.tsv").read_text().splitlines()
+    assert rows[0].startswith("#")
+    top = rows[1].split("\t")
+    assert top[0] == hot.decode()
+    assert int(top[1]) == 200
+    assert abs(float(top[2]) - 20.0) < 1e-6
+    assert (tmp_path / "qc_adapter_mate1.tsv").exists()
