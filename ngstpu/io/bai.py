@@ -108,6 +108,73 @@ def build_bai(header: BamHeader, cols: BamColumns, body_u_offset: int,
     return b"".join(out)
 
 
+def reg2bins(beg: int, end: int) -> list[int]:
+    """All bins overlapping [beg, end) (SAM spec §5.3 reg2bins)."""
+    end -= 1
+    bins = [0]
+    for shift, off in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+        bins.extend(range(off + (beg >> shift), off + (end >> shift) + 1))
+    return bins
+
+
+def read_bai(path: str) -> list[tuple[dict[int, list[tuple[int, int]]],
+                                      np.ndarray]]:
+    """Parse a .bai: per-reference (bins -> chunk list, linear index).
+    The inverse of build_bai; also reads samtools-produced indexes
+    (trailing n_no_coor and metadata pseudo-bin 37450 are tolerated)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != b"BAI\x01":
+        raise ValueError("not a BAI index")
+    (n_ref,) = struct.unpack_from("<i", data, 4)
+    o = 8
+    refs = []
+    for _ in range(n_ref):
+        (n_bin,) = struct.unpack_from("<i", data, o)
+        o += 4
+        bins: dict[int, list[tuple[int, int]]] = {}
+        for _ in range(n_bin):
+            b, n_chunk = struct.unpack_from("<Ii", data, o)
+            o += 8
+            chunks = []
+            for _ in range(n_chunk):
+                vs, ve = struct.unpack_from("<QQ", data, o)
+                o += 16
+                chunks.append((vs, ve))
+            if b != 37450:  # metadata pseudo-bin
+                bins[b] = chunks
+        (n_intv,) = struct.unpack_from("<i", data, o)
+        o += 4
+        lin = np.frombuffer(data, dtype="<u8", count=n_intv, offset=o)
+        o += 8 * n_intv
+        refs.append((bins, lin.astype(np.uint64)))
+    return refs
+
+
+def region_voffsets(bai_refs, tid: int, beg: int, end: int
+                    ) -> tuple[int, int] | None:
+    """Virtual-offset window [v_lo, v_hi) covering every record that can
+    overlap region [beg, end) on reference `tid` — the chunk union over
+    reg2bins, floor-filtered by the linear index (the bam_fetch block-skip
+    strategy of samtools' index machinery). None if the index proves the
+    region empty."""
+    if tid < 0 or tid >= len(bai_refs):
+        return None
+    bins, lin = bai_refs[tid]
+    min_off = int(lin[min(beg >> 14, len(lin) - 1)]) if len(lin) else 0
+    v_lo, v_hi = None, None
+    for b in reg2bins(beg, end):
+        for vs, ve in bins.get(b, ()):
+            if ve <= min_off:
+                continue
+            vs = max(vs, min_off)
+            v_lo = vs if v_lo is None else min(v_lo, vs)
+            v_hi = ve if v_hi is None else max(v_hi, ve)
+    if v_lo is None:
+        return None
+    return v_lo, v_hi
+
+
 def write_bai(bam_path: str, bai_path: str | None = None) -> str:
     """Index a BAM file; returns the .bai path."""
     from .bgzf import _scan_blocks, decompress_bgzf

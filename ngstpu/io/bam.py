@@ -174,6 +174,68 @@ def read_bam(path: str) -> tuple[BamHeader, BamColumns]:
     return header, scan_records(body)
 
 
+def read_bam_region(path: str, ref_name_or_tid, beg: int, end: int
+                    ) -> tuple[BamHeader, BamColumns] | None:
+    """BAI-driven region decode: inflate ONLY the BGZF blocks whose virtual
+    offsets can hold records overlapping [beg, end) on the given reference
+    (samtools' bam_fetch block-skip, reference bam2depth.c:121-130, done
+    block-parallel). Requires `path`.bai (ours or samtools'); returns None
+    when no index is available (caller falls back to the full scan), and
+    an empty column set when the index proves the region empty.
+
+    Returned records are the superset held by the overlapping chunks —
+    callers apply the precise region/flag mask exactly as with a full scan.
+    """
+    import os
+
+    from .bai import read_bai, region_voffsets
+    from .bgzf import _scan_blocks, decompress_block_range
+
+    bai_path = path + ".bai"
+    if not os.path.exists(bai_path):
+        return None
+    with open(path, "rb") as f:
+        raw = f.read()
+    starts, lens, isizes = _scan_blocks(raw)
+
+    # decode the header prefix (usually one block) incrementally
+    n_hdr_blocks = 1
+    while True:
+        prefix = decompress_block_range(raw, starts, lens, isizes, 0,
+                                        n_hdr_blocks)
+        try:
+            header, body_off = parse_header(prefix)
+            break
+        except (struct.error, IndexError, ValueError):
+            if n_hdr_blocks >= len(starts):
+                raise
+            n_hdr_blocks += 1
+
+    tid = (header.ref_names.index(ref_name_or_tid)
+           if isinstance(ref_name_or_tid, str) else int(ref_name_or_tid))
+    window = region_voffsets(read_bai(bai_path), tid, beg, end)
+    empty = BamColumns(
+        rec_offset=np.zeros(0, np.int64), rec_len=np.zeros(0, np.int32),
+        tid=np.zeros(0, np.int32), pos=np.zeros(0, np.int32),
+        flag=np.zeros(0, np.int32), mapq=np.zeros(0, np.int32),
+        l_qseq=np.zeros(0, np.int32), gc=np.zeros(0, np.int32),
+        cigar_offset=np.zeros(0, np.int64), n_cigar=np.zeros(0, np.int32),
+        cigar_op=np.zeros(0, np.uint8), cigar_len=np.zeros(0, np.uint32),
+        body=np.zeros(0, np.uint8))
+    if window is None:
+        return header, empty
+    v_lo, v_hi = window
+    blk_lo = int(np.searchsorted(starts, v_lo >> 16, side="right")) - 1
+    blk_hi = int(np.searchsorted(starts, v_hi >> 16, side="right"))
+    if (v_hi & 0xFFFF) == 0:
+        blk_hi -= 1  # chunk ends exactly at a block boundary
+    blk_hi = min(max(blk_hi, blk_lo + 1), len(starts))
+    data = decompress_block_range(raw, starts, lens, isizes, blk_lo, blk_hi)
+    intra = v_lo & 0xFFFF
+    body = np.frombuffer(data, dtype=np.uint8, offset=intra)
+    return header, scan_records(body)
+
+
 def write_bam(path: str, header: BamHeader, record_bytes: bytes,
               level: int = 6) -> None:
     """Write header + raw record bytes as a BGZF BAM file."""

@@ -77,6 +77,34 @@ def read_bgzf(path: str) -> bytes:
         return decompress_bgzf(f.read())
 
 
+def decompress_block_range(data: bytes, starts: np.ndarray, lens: np.ndarray,
+                           isizes: np.ndarray, lo: int, hi: int) -> bytes:
+    """Inflate only blocks [lo, hi) of a scanned BGZF buffer (the
+    BAI-driven partial decode: non-overlapping blocks are never touched)."""
+    if lo >= hi:
+        return b""
+    starts, lens, isizes = starts[lo:hi], lens[lo:hi], isizes[lo:hi]
+    lib = get_lib()
+    if lib is not None:
+        total = int(isizes.sum())
+        out = np.empty(total, dtype=np.uint8)
+        out_offsets = np.zeros(len(starts), dtype=np.int64)
+        if len(starts):
+            np.cumsum(isizes[:-1], out=out_offsets[1:])
+        out_sizes = np.empty(len(starts), dtype=np.int64)
+        arr = np.frombuffer(data, dtype=np.uint8)
+        rc = lib.ngs_gzip_decompress_blocks(
+            arr, np.ascontiguousarray(starts), np.ascontiguousarray(lens),
+            len(starts), out, out_offsets, np.ascontiguousarray(isizes),
+            out_sizes, 0)
+        if rc == 0 and (out_sizes == isizes).all():
+            return out.tobytes()
+    chunks = []
+    for s, ln in zip(starts.tolist(), lens.tolist()):
+        chunks.append(gzip.decompress(data[s:s + ln]))
+    return b"".join(chunks)
+
+
 def compress_bgzf(data: bytes, level: int = 6,
                   block_size: int = 0xFF00) -> bytes:
     """Plain bytes -> BGZF blocks + EOF marker (parallel deflate)."""

@@ -69,7 +69,28 @@ def f32_seq_sum(arr: np.ndarray) -> np.float32:
 
 def process(path: str, window: int, outfile_rows: list, header_state: dict,
             timer: StageTimer, region: str | None = None) -> None:
-    header, cols = read_bam(path)
+    header = cols = None
+    if region:
+        # BAI-driven partial decode: inflate only blocks overlapping the
+        # region (the reference's indexed fetch, bam_sliding_count.c:394-409)
+        from ..io.bam import read_bam_region
+
+        name, _, rest = region.partition(":")
+        beg, end = 0, 1 << 29
+        if rest:
+            b, _, e = rest.partition("-")
+            if b:
+                beg = max(int(b.replace(",", "")) - 1, 0)
+            if e:
+                end = int(e.replace(",", ""))
+        try:
+            got = read_bam_region(path, name, beg, end)
+        except ValueError:  # unknown ref name: full scan reports it
+            got = None
+        if got is not None:
+            header, cols = got
+    if header is None:
+        header, cols = read_bam(path)
     by_tid, total = accumulate(header, cols, window, region)
     sys.stderr.write(f"Done load bam file {path} at {timer.elapsed():.3f} s\n")
 

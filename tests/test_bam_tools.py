@@ -127,3 +127,36 @@ def test_our_bai_matches_samtools_fetch(tmp_path):
         [f.replace("b.bam", "x") for f in f2]
     for fa, fb in zip(f1, f2):
         assert (d1 / fa).read_bytes() == (d2 / fb).read_bytes(), fa
+
+
+def test_bai_region_decode_matches_full_scan(tmp_path):
+    """read_bam_region (BAI-driven partial BGZF decode) must return a
+    superset of the region's records that filters to exactly the full-scan
+    result, for our own index."""
+    from ngstpu.io.bai import write_bai
+    from ngstpu.io.bam import read_bam, read_bam_region
+    from ngstpu.ops.bamops import parse_region, region_mask
+    from ngstpu.testing.bamfixtures import random_bam
+
+    bam = str(tmp_path / "r.bam")
+    random_bam(bam, [("ref0", 200000), ("ref1", 200000), ("ref2", 200000)],
+               3000, seed=21)
+    write_bai(bam)
+    header, full = read_bam(bam)
+
+    for region in ("ref1:50,001-60,000", "ref0", "ref2:199,000-200,000",
+                   "ref0:1-1"):
+        ref, beg, end = parse_region(header, region)
+        want = region_mask(full, ref, beg, end)
+        got_h, got = read_bam_region(bam, ref, beg, end)
+        gmask = region_mask(got, ref, beg, end)
+        # identical record identity: compare (tid, pos, flag, l_qseq) rows
+        w = np.stack([full.tid[want], full.pos[want], full.flag[want],
+                      full.l_qseq[want]])
+        g = np.stack([got.tid[gmask], got.pos[gmask], got.flag[gmask],
+                      got.l_qseq[gmask]])
+        assert np.array_equal(w, g), region
+    # missing index -> None (caller falls back)
+    import os
+    os.remove(bam + ".bai")
+    assert read_bam_region(bam, 0, 0, 100) is None
