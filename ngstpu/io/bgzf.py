@@ -32,6 +32,8 @@ def _scan_blocks(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         if data[o] != 0x1F or data[o + 1] != 0x8B:
             raise ValueError("bad BGZF magic")
         xlen = struct.unpack_from("<H", data, o + 10)[0]
+        if o + 12 + xlen > n:
+            raise ValueError("truncated BGZF header")
         # find BC subfield
         xo = o + 12
         bsize = None
@@ -43,6 +45,8 @@ def _scan_blocks(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
             xo += 4 + slen
         if bsize is None:
             raise ValueError("BGZF block without BSIZE")
+        if o + bsize > n:
+            raise ValueError("truncated BGZF block")
         isize = struct.unpack_from("<I", data, o + bsize - 4)[0]
         starts.append(o)
         lens.append(bsize)

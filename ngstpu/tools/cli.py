@@ -10,6 +10,7 @@ reference tool's exact output formats and default values.
 from __future__ import annotations
 
 import importlib
+import zlib
 import sys
 
 TOOLS = {
@@ -72,9 +73,10 @@ def main(argv: list[str] | None = None) -> int:
     except FileNotFoundError as e:
         sys.stderr.write(f"ngstpu {name}: {e}\n")
         return 1
-    except ValueError as e:
+    except (ValueError, EOFError, zlib.error) as e:
         # malformed input (bad FASTQ record structure, bad BAM/BGZF magic,
-        # codec domain errors) — fail cleanly like a CLI, not a traceback
+        # truncated gzip streams, codec domain errors) — fail cleanly like
+        # a CLI, not a traceback
         sys.stderr.write(f"ngstpu {name}: invalid input: {e}\n")
         return 1
     except BrokenPipeError:
