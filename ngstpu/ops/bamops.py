@@ -119,8 +119,18 @@ def merged_intervals(pos: np.ndarray, delta: np.ndarray):
     if len(pos) == 0:
         z = np.zeros(0, np.int64)
         return z, z, z
+    # bucket the event count to a power of two so XLA compiles one sweep
+    # per bucket instead of one per chromosome/file shape (invalid rows
+    # sort last behind the n_valid sentinel)
+    from ..utils.padding import bucket_rows
+
+    n = len(pos)
+    e = bucket_rows(n)
+    if e != n:
+        pos = np.pad(pos, (0, e - n))
+        delta = np.pad(delta, (0, e - n))
     s_pos, cum, is_last = sparse_pileup_sweep(
-        jnp.asarray(pos), jnp.asarray(delta), jnp.int32(len(pos)))
+        jnp.asarray(pos), jnp.asarray(delta), jnp.int32(n))
     s_pos, cum, is_last = (np.asarray(s_pos), np.asarray(cum),
                            np.asarray(is_last))
     u_pos = s_pos[is_last].astype(np.int64)

@@ -1,0 +1,100 @@
+"""Scaling-efficiency harness (BASELINE.md: >=80% efficiency 1 -> N).
+
+Measures device-resident throughput of the sharded QC step (psum-merged
+histograms — the reduceStats map-reduce of the reference,
+fastq_count_kthread.c:180-210) and the sharded dedup sort over 1..N-device
+'dp' meshes, reporting weak-scaling efficiency. Run on a pod:
+
+    python -m ngstpu.parallel.scalebench [--reads-per-chip 262144] [--len 128]
+
+On a single-chip or CPU dev box this exercises the mechanics (virtual CPU
+devices share the same cores, so the printed efficiency there reflects the
+harness, not hardware). Inputs are generated ON DEVICE so the measurement
+isolates compute+collectives from host I/O, which bench.py covers.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _bench_mesh(n_dev: int, reads_per_chip: int, read_len: int,
+                iters: int = 5) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from .dist import shard_batch_arrays, sharded_qc_step
+    from .mesh import make_mesh
+    from ..ops.sortengine import dedup_sorted
+
+    mesh = make_mesh(n_dev)
+    B = reads_per_chip * n_dev
+    rng = np.random.default_rng(0)
+    seq = rng.integers(65, 85, (B, read_len), dtype=np.uint8)
+    qual = rng.integers(33, 75, (B, read_len), dtype=np.uint8)
+    lens = np.full(B, read_len - 10, np.int32)
+    n_valid = np.full(n_dev, reads_per_chip, np.int32)
+
+    step = sharded_qc_step(mesh)
+    with mesh:
+        args = shard_batch_arrays(mesh, seq, qual, lens, n_valid)
+        merged, gc, packed = step(*args)  # compile + warm
+        jax.block_until_ready((merged, gc, packed))
+        t_best = float("inf")
+        for _ in range(iters):
+            t0 = time.monotonic()
+            merged, gc, packed = step(*args)
+            # real sync: reduce to scalar and pull
+            float(jnp.sum(merged["len_hist"]))
+            t_best = min(t_best, time.monotonic() - t0)
+
+    # sharded dedup sort throughput (per-shard local sort under shard_map
+    # is what distributed_sort runs twice; this is its compute kernel)
+    sumq = rng.integers(0, 4000, B).astype(np.uint32)
+    # device-resident: transfers excluded (bench.py covers the host path)
+    wd = jnp.asarray(np.asarray(packed).astype(np.uint32))
+    ld = jnp.asarray(lens)
+    qd = jnp.asarray(sumq)
+    res = dedup_sorted(wd, ld, qd, jnp.int32(B))
+    jax.block_until_ready(res["perm"])
+    t_sort = float("inf")
+    for _ in range(max(iters - 2, 1)):
+        t0 = time.monotonic()
+        res = dedup_sorted(wd, ld, qd, jnp.int32(B))
+        int(res["n_groups"])
+        t_sort = min(t_sort, time.monotonic() - t0)
+
+    return dict(n_dev=n_dev, reads=B,
+                qc_reads_per_s=B / t_best,
+                dedup_reads_per_s=B / t_sort)
+
+
+def main(argv: list[str] | None = None) -> int:
+    import jax
+
+    argv = sys.argv[1:] if argv is None else argv
+    reads_per_chip, read_len = 262144, 128
+    it = iter(argv)
+    for a in it:
+        if a == "--reads-per-chip":
+            reads_per_chip = int(next(it))
+        elif a == "--len":
+            read_len = int(next(it))
+    n_all = len(jax.devices())
+    sizes = sorted({1, 2, 4, n_all} & set(range(1, n_all + 1)))
+    rows = [_bench_mesh(n, reads_per_chip, read_len) for n in sizes]
+    base = rows[0]
+    for r in rows:
+        r["qc_scaling_eff"] = (r["qc_reads_per_s"]
+                               / (base["qc_reads_per_s"] * r["n_dev"]))
+        print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
+                          for k, v in r.items()}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

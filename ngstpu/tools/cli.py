@@ -33,6 +33,7 @@ TOOLS = {
     "bamSplitChr": "ngstpu.tools.bam_split_chr",
     "fastqc": "ngstpu.tools.fastqc",
     "pipeline": "ngstpu.tools.pipeline",
+    "ordered_uniq": "ngstpu.tools.ordered_uniq",
     "index": "ngstpu.tools.bam_index",
 }
 

@@ -174,3 +174,30 @@ def test_sort_mesh_bit_identical(tmp_path):
                   str(tmp_path / "mesh"), "-m", "8"])
         assert (tmp_path / ("one" + suffix)).read_bytes() == \
             (tmp_path / ("mesh" + suffix)).read_bytes(), flag
+
+
+def test_ordered_uniq_rank_semantics(tmp_path):
+    """ordered_uniq = the kbtree/skiplist/map demo capability: in-order
+    unique dump with 1-based ranks; rank_of is the inverse query."""
+    from ngstpu.tools.ordered_uniq import rank_of
+
+    data = random_fastq(500, read_len=40, seed=90, dup_frac=0.6)
+    p = tmp_path / "in.fq"
+    p.write_bytes(data)
+    rc = cli_main(["ordered_uniq", "-i", str(p), "-o", str(tmp_path / "o.fq")])
+    assert rc == 0
+    lines = (tmp_path / "o.fq").read_bytes().splitlines()
+    assert len(lines) % 4 == 0
+    seqs = [lines[i + 1] for i in range(0, len(lines), 4)]
+    ranks = [int(lines[i].rsplit(b"\t", 1)[1]) for i in range(0, len(lines), 4)]
+    assert seqs == sorted(set(seqs))          # key order, unique
+    assert ranks == list(range(1, len(seqs) + 1))
+    # select-by-rank == row; rank_of == inverse (skiplist_kseq.c:96-107)
+    assert rank_of(seqs, seqs[3]) == 4
+    assert rank_of(seqs, b"ZZZZ") == 0
+    # -r K cap (the demo prints ranks 1..20)
+    rc = cli_main(["ordered_uniq", "-i", str(p), "-r", "5",
+                   "-o", str(tmp_path / "r.fq")])
+    assert rc == 0
+    top = (tmp_path / "r.fq").read_bytes().splitlines()
+    assert len(top) == 20 and top[1] == seqs[0]
