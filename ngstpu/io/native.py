@@ -129,6 +129,9 @@ def get_lib() -> ctypes.CDLL | None:
             _p_u8, _i64, _p_i64, _p_i32, _p_i32, _p_i32, _p_i32, _p_i32,
             _p_i32, _p_i32, _p_i64, _p_i32, _p_u8,
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"), _int]
+        lib.ngs_pileup_sweep.restype = _i64
+        lib.ngs_pileup_sweep.argtypes = [_p_i32, _p_i32, _i64, _p_i64,
+                                         _p_i64, _int]
         lib.ngs_format_int3_rows.restype = _i64
         lib.ngs_format_int3_rows.argtypes = [_p_u8, _i32, _p_i64, _p_i64,
                                              _p_i64, _i64, _p_u8]

@@ -789,6 +789,44 @@ void ngs_bam_scan(const uint8_t* buf, int64_t n,
 }
 
 // ---------------------------------------------------------------------------
+// Host pileup sweep (transfer-aware fallback for ops/bamops.py
+// sparse_pileup_sweep): sort (pos, delta) events by position, accumulate
+// the running depth, and emit one (pos, cumulative depth) row per unique
+// position — exactly the device kernel's is_last rows. Sorting packs each
+// event into one int64 (pos << 32 | biased delta) so the sort is a flat
+// primitive-key std::sort.
+// Returns the number of unique positions; u_pos/u_depth sized >= n by caller.
+// ---------------------------------------------------------------------------
+int64_t ngs_pileup_sweep(const int32_t* pos, const int32_t* delta, int64_t n,
+                         int64_t* u_pos, int64_t* u_depth, int nthreads) {
+    (void)nthreads;
+    if (n == 0) return 0;
+    std::vector<int64_t> keys(n);
+    for (int64_t i = 0; i < n; ++i) {
+        keys[i] = (static_cast<int64_t>(pos[i]) << 32) |
+                  static_cast<uint32_t>(delta[i] + (1 << 30));
+    }
+    std::sort(keys.begin(), keys.end());
+    int64_t out = 0;
+    int64_t depth = 0;
+    int64_t cur = keys[0] >> 32;
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t p = keys[i] >> 32;
+        if (p != cur) {
+            u_pos[out] = cur;
+            u_depth[out++] = depth;
+            cur = p;
+        }
+        depth += static_cast<int64_t>(
+                     static_cast<uint32_t>(keys[i] & 0xFFFFFFFF)) -
+                 (1 << 30);
+    }
+    u_pos[out] = cur;
+    u_depth[out++] = depth;
+    return out;
+}
+
+// ---------------------------------------------------------------------------
 // Fast TSV row formatting (bedGraph / window / wig emission)
 // ---------------------------------------------------------------------------
 

@@ -119,22 +119,41 @@ def merged_intervals(pos: np.ndarray, delta: np.ndarray):
     if len(pos) == 0:
         z = np.zeros(0, np.int64)
         return z, z, z
-    # bucket the event count to a power of two so XLA compiles one sweep
-    # per bucket instead of one per chromosome/file shape (invalid rows
-    # sort last behind the n_valid sentinel)
-    from ..utils.padding import bucket_rows
-
     n = len(pos)
-    e = bucket_rows(n)
-    if e != n:
-        pos = np.pad(pos, (0, e - n))
-        delta = np.pad(delta, (0, e - n))
-    s_pos, cum, is_last = sparse_pileup_sweep(
-        jnp.asarray(pos), jnp.asarray(delta), jnp.int32(n))
-    s_pos, cum, is_last = (np.asarray(s_pos), np.asarray(cum),
-                           np.asarray(is_last))
-    u_pos = s_pos[is_last].astype(np.int64)
-    u_depth = cum[is_last].astype(np.int64)
+    u_pos = u_depth = None
+    if pos.nbytes >= (8 << 20):
+        # placement: on a thin host<->device link the event round-trip
+        # costs more than a host sort+sweep (utils/linkprobe)
+        from ..utils.linkprobe import link_verdict, probe_link
+
+        if (link_verdict() or probe_link(pos)) == "host":
+            from ..io.native import get_lib
+
+            lib = get_lib()
+            if lib is not None:
+                u_pos = np.empty(n, np.int64)
+                u_depth = np.empty(n, np.int64)
+                k = lib.ngs_pileup_sweep(
+                    np.ascontiguousarray(pos, np.int32),
+                    np.ascontiguousarray(delta, np.int32),
+                    n, u_pos, u_depth, 0)
+                u_pos, u_depth = u_pos[:k], u_depth[:k]
+    if u_pos is None:
+        # bucket the event count to a power of two so XLA compiles one
+        # sweep per bucket instead of one per chromosome/file shape
+        # (invalid rows sort last behind the n_valid sentinel)
+        from ..utils.padding import bucket_rows
+
+        e = bucket_rows(n)
+        if e != n:
+            pos = np.pad(pos, (0, e - n))
+            delta = np.pad(delta, (0, e - n))
+        s_pos, cum, is_last = sparse_pileup_sweep(
+            jnp.asarray(pos), jnp.asarray(delta), jnp.int32(n))
+        s_pos, cum, is_last = (np.asarray(s_pos), np.asarray(cum),
+                               np.asarray(is_last))
+        u_pos = s_pos[is_last].astype(np.int64)
+        u_depth = cum[is_last].astype(np.int64)
     if len(u_pos) == 0:
         z = np.zeros(0, np.int64)
         return z, z, z

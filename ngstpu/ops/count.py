@@ -116,35 +116,8 @@ def _qc_placement() -> str:
     return os.environ.get("NGSTPU_QC", "auto")
 
 
-def _qc_bw_min() -> float:
-    import os
-
-    return float(os.environ.get("NGSTPU_QC_BW_MIN", "150")) * 1e6
-
-
-_LINK_VERDICT: list = []  # process-wide: [] = unmeasured, ["host"|"device"]
-
-
-def _link_verdict() -> str | None:
-    return _LINK_VERDICT[0] if _LINK_VERDICT else None
-
-
-def _probe_link(arr: np.ndarray) -> None:
-    """One-shot link-bandwidth measurement with an ~8MB device_put slice;
-    records the process-wide host/device placement verdict."""
-    import time as _time
-
-    rows = max(1, min(arr.shape[0], (8 << 20) // max(arr.shape[1], 1)))
-    probe = np.ascontiguousarray(arr[:rows])
-    t0 = _time.monotonic()
-    out = jax.device_put(probe)
-    out.block_until_ready()
-    # force the data round (block_until_ready can under-report through
-    # remote-device tunnels): pull one element back
-    _ = np.asarray(out[:1, :1])
-    dt = max(_time.monotonic() - t0, 1e-9)
-    _LINK_VERDICT.append("host" if probe.nbytes / dt < _qc_bw_min()
-                         else "device")
+from ..utils.linkprobe import link_verdict as _link_verdict  # noqa: E402
+from ..utils.linkprobe import probe_link as _probe_link  # noqa: E402
 
 
 class QCAccumulator:

@@ -69,7 +69,16 @@ def main(argv: list[str] | None = None) -> int:
 
     setup_jax_cache()
     mod = importlib.import_module(TOOLS[name])
+    trace_dir = os.environ.get("NGSTPU_TRACE")
     try:
+        if trace_dir:
+            # structured device+host profiling (SURVEY.md §5: the upgrade
+            # over the reference's stderr usec() checkpoints): capture a
+            # jax.profiler trace viewable in TensorBoard/Perfetto
+            import jax
+
+            with jax.profiler.trace(trace_dir):
+                return mod.main(argv[1:]) or 0
         return mod.main(argv[1:]) or 0
     except FileNotFoundError as e:
         sys.stderr.write(f"ngstpu {name}: {e}\n")

@@ -68,20 +68,24 @@ def dedup_device(seq_padded: np.ndarray, lens: np.ndarray,
 
 def _emit(out, batch, rep: np.ndarray, counts: np.ndarray,
           seq_override=None, lens_override=None) -> None:
-    from ..io.native import format_fastq_take
+    from ..io.native import format_fastq_take, have_native
 
-    if len(rep):
-        seq = batch.seq if seq_override is None else seq_override
+    if len(rep) and have_native():
+        # chunked so a threaded writer overlaps formatting with the file
+        # writes (utils/iopipe.TeeWriter)
+        seq = np.ascontiguousarray(batch.seq if seq_override is None
+                                   else seq_override)
         slens = batch.lens if lens_override is None else lens_override
-        idx_s = (rep if seq_override is None
-                 else np.arange(len(rep), dtype=np.int64))
-        text = format_fastq_take(batch.names, batch.name_starts,
-                                 batch.name_lens, rep, counts,
-                                 seq, slens, idx_s,
-                                 batch.qual, batch.lens, rep)
-        if text is not None:
+        idx_s_full = (rep if seq_override is None
+                      else np.arange(len(rep), dtype=np.int64))
+        for lo in range(0, len(rep), OUT_CHUNK):
+            sl = slice(lo, lo + OUT_CHUNK)
+            text = format_fastq_take(batch.names, batch.name_starts,
+                                     batch.name_lens, rep[sl], counts[sl],
+                                     seq, slens, idx_s_full[sl],
+                                     batch.qual, batch.lens, rep[sl])
             out.write(text)
-            return
+        return
     for lo in range(0, len(rep), OUT_CHUNK):
         idx = rep[lo:lo + OUT_CHUNK]
         sub = batch.take(idx)
@@ -104,34 +108,36 @@ def run_se(read1: str, outfile: str, timer: StageTimer,
         f"{100.0 * n_groups / n:.3f}%)\n" if n else "")
     timer.log("Finished load hash at %.3f s\n")
     # both outputs carry identical records in identical (key-sorted) order:
-    # format once, write twice
-    chunks: list[bytes] = []
+    # format once, write both files concurrently (threaded tee overlaps
+    # the two writes with formatting)
+    out = open_output(with_suffix(outfile, "_uniq.fq"))
+    out2 = open_output(with_suffix(outfile, "_sortKeyUniq.fq"))
+    if out is sys.stdout.buffer or out2 is sys.stdout.buffer:
+        # stdout: keep record order per stream — write sequentially
+        chunks: list = []
 
-    class _Sink:
-        def write(self, data):
-            chunks.append(data)
+        class _Sink:
+            def write(self, data):
+                chunks.append(data)
 
-    _emit(_Sink(), batch, rep, counts)
-    first = with_suffix(outfile, "_uniq.fq")
-    out = open_output(first)
-    for c in chunks:
-        out.write(c)
-    to_file = out is not sys.stdout.buffer
-    if to_file:
+        _emit(_Sink(), batch, rep, counts)
+        for o in (out, out2):
+            for c in chunks:
+                o.write(c)
+            if o is sys.stdout.buffer:
+                o.flush()
+            else:
+                o.close()
+        return
+    from ..utils.iopipe import TeeWriter
+
+    tee = TeeWriter([out, out2])
+    try:
+        _emit(tee, batch, rep, counts)
+    finally:
+        tee.close()
         out.close()
-        # identical second file: kernel-side copy beats re-writing 230MB+
-        import shutil
-
-        shutil.copyfile(first, with_suffix(outfile, "_sortKeyUniq.fq"))
-    else:
-        out.flush()
-        out2 = open_output(with_suffix(outfile, "_sortKeyUniq.fq"))
-        for c in chunks:
-            out2.write(c)
-        if out2 is not sys.stdout.buffer:
-            out2.close()
-        else:
-            out2.flush()
+        out2.close()
 
 
 def run_pe(read1: str, read2: str, outfile: str, timer: StageTimer,

@@ -73,11 +73,36 @@ def run(infile: str, prefix: str, start: int, end: int,
                        jnp.int32(batch.n), length_first=False)
     timer.checkpoint("dispatch")
 
-    # 2) trim (host slice + write) overlaps the device sort
+    # 2) trim (host slice + write) overlaps the device sort; the threaded
+    # writer overlaps formatting chunk k+1 with writing chunk k
+    from ..io.native import format_fastq_take
+    from ..utils.iopipe import TeeWriter
+
     seq_t, qual_t, lens_t = trim_batch(batch, start, end)
-    with open(prefix + ".trim.fastq", "wb") as out:
-        out.write(format_fastq(batch.names, batch.name_starts, batch.name_lens,
-                               seq_t, qual_t, lens_t))
+    seq_t = np.ascontiguousarray(seq_t)
+    qual_t = np.ascontiguousarray(qual_t)
+    with open(prefix + ".trim.fastq", "wb") as f:
+        tee = TeeWriter([f])
+        try:
+            step = 1 << 18
+            done = False
+            for lo in range(0, batch.n, step):
+                idx = np.arange(lo, min(lo + step, batch.n), dtype=np.int64)
+                text = format_fastq_take(
+                    batch.names, batch.name_starts, batch.name_lens, idx,
+                    None, seq_t, lens_t, idx, qual_t, lens_t, idx)
+                if text is None:
+                    break
+                tee.write(text)
+            else:
+                done = True
+        finally:
+            tee.close()
+        if not done:  # no native lib: single formatted write
+            f.seek(0)
+            f.truncate()
+            f.write(format_fastq(batch.names, batch.name_starts,
+                                 batch.name_lens, seq_t, qual_t, lens_t))
     timer.checkpoint("trim_write")
 
     # 3) pull dedup results, group math on host
@@ -92,22 +117,16 @@ def run(infile: str, prefix: str, start: int, end: int,
     with open(prefix + ".count.tsv", "w") as out:
         out.write(_row(infile, acc))
 
-    # the two uniq outputs are identical records in identical order
-    # (we emit key-sorted for both) — format once, write twice
-    chunks = []
-
-    class _Sink:
-        def write(self, data):
-            chunks.append(data)
-
-    _emit(_Sink(), batch, rep, counts)
-    with open(prefix + "_uniq.fq", "wb") as out:
-        for c in chunks:
-            out.write(c)
-    # identical second file: kernel-side copy (copy_file_range/sendfile)
-    import shutil
-
-    shutil.copyfile(prefix + "_uniq.fq", prefix + "_sortKeyUniq.fq")
+    # the two uniq outputs are identical records in identical order (we
+    # emit key-sorted for both) — format once, write both concurrently;
+    # the tee threads overlap the two file writes with formatting
+    with open(prefix + "_uniq.fq", "wb") as f1, \
+            open(prefix + "_sortKeyUniq.fq", "wb") as f2:
+        tee = TeeWriter([f1, f2])
+        try:
+            _emit(tee, batch, rep, counts)
+        finally:
+            tee.close()
     timer.checkpoint("uniq_write")
     return dict(n=batch.n, n_groups=n_groups,
                 stages=dict(timer.stages))
@@ -115,11 +134,11 @@ def run(infile: str, prefix: str, start: int, end: int,
 
 def main(argv: list[str]) -> int:
     timer = StageTimer()
-    infile, prefix, start, end = "-", "out", 0, 400
-    opts, _ = getopt.gnu_getopt(argv, "i:o:s:e:h?")
+    infiles, prefix, start, end = [], "out", 0, 400
+    opts, extra = getopt.gnu_getopt(argv, "i:o:s:e:h?")
     for flag, val in opts:
         if flag == "-i":
-            infile = val
+            infiles.append(val)
         elif flag == "-o":
             prefix = val
         elif flag == "-s":
@@ -128,9 +147,32 @@ def main(argv: list[str]) -> int:
             end = int(val)
         elif flag in ("-h", "-?"):
             sys.stderr.write(
-                "Usage: ngstpu pipeline -i in.fq -o prefix [-s start] [-e end]\n")
+                "Usage: ngstpu pipeline -i in.fq [-i in2.fq ...] -o prefix"
+                " [-s start] [-e end]\n"
+                "  multi-lane runs share one process: compiled programs are\n"
+                "  reused and the next lane's bytes prefetch in background\n")
             return 1
-    info = run(infile, prefix, start, end, timer)
-    sys.stderr.write(f"reads: {info['n']}\nunique: {info['n_groups']}\n")
+    infiles += extra
+    if not infiles:
+        infiles = ["-"]
+
+    def prefetch(path):
+        try:
+            with open(path, "rb") as f:  # warm the page cache
+                while f.read(32 << 20):
+                    pass
+        except OSError:
+            pass
+
+    import threading
+
+    for k, infile in enumerate(infiles):
+        if k + 1 < len(infiles) and infiles[k + 1] != "-":
+            threading.Thread(target=prefetch, args=(infiles[k + 1],),
+                             daemon=True).start()
+        out_prefix = prefix if len(infiles) == 1 else f"{prefix}.{k + 1}"
+        info = run(infile, out_prefix, start, end, timer)
+        sys.stderr.write(f"{infile}: reads: {info['n']}\n"
+                         f"unique: {info['n_groups']}\n")
     timer.log("Finished at %.3f s\n")
     return 0

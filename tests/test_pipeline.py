@@ -26,3 +26,23 @@ def test_pipeline_outputs_match_individual_tools(tmp_path):
         (tmp_path / "ru_sortKeyUniq.fq").read_bytes()
     count_row = (tmp_path / "pl.count.tsv").read_text()
     assert count_row.split("\t")[1:] == ref_c.stdout.decode().split("\t")[1:]
+
+
+def test_pipeline_multifile(tmp_path):
+    """Multi-lane mode: per-file output prefixes, one warm process."""
+    from ngstpu.testing.fixtures import random_fastq
+
+    p1, p2 = tmp_path / "l1.fq", tmp_path / "l2.fq"
+    p1.write_bytes(random_fastq(300, read_len=50, seed=61, dup_frac=0.4))
+    p2.write_bytes(random_fastq(200, read_len=50, seed=62, dup_frac=0.4))
+    rc = cli_main(["pipeline", "-i", str(p1), "-i", str(p2),
+                   "-o", str(tmp_path / "o"), "-e", "30"])
+    assert rc == 0
+    for k, p in ((1, p1), (2, p2)):
+        base = tmp_path / f"o.{k}"
+        assert (tmp_path / f"o.{k}.count.tsv").exists()
+        trim = (tmp_path / f"o.{k}.trim.fastq").read_bytes()
+        assert trim.count(b"\n") == (300 if k == 1 else 200) * 4
+        u1 = (tmp_path / f"o.{k}_uniq.fq").read_bytes()
+        u2 = (tmp_path / f"o.{k}_sortKeyUniq.fq").read_bytes()
+        assert u1 == u2 and u1
