@@ -17,3 +17,8 @@ A ground-up reimplementation of the capabilities of the reference C toolkit
 """
 
 __version__ = "0.1.0"
+
+from .utils.malloctune import tune_malloc as _tune_malloc
+
+_tune_malloc()  # see utils/malloctune.py — huge win on slow-fault VMs
+del _tune_malloc

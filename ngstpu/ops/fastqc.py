@@ -158,6 +158,134 @@ def overrepresented(key: np.ndarray, key_lens: np.ndarray,
     return rows
 
 
+@functools.partial(jax.jit, static_argnames=("n_tiles",))
+def per_tile_quality(qual: jax.Array, lens: jax.Array, n_valid: jax.Array,
+                     tile_idx: jax.Array, n_tiles: int):
+    """Per-tile per-cycle quality accumulation (FastQC per-tile module;
+    ngstpu extension beyond the reference R script).
+
+    qual uint8 [B, L] raw ASCII; tile_idx int32 [B] dense tile ordinals in
+    [0, n_tiles). Returns (phred_sums int32 [T, L], counts int32 [T, L])
+    where phred = ascii - 33. The chart metric is each tile's per-cycle
+    mean minus the global per-cycle mean.
+    """
+    B, L = qual.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    mask = (col < lens[:, None]) & (row < n_valid)
+    phred = (qual.astype(jnp.int32) - 33) * mask
+    sums = jax.ops.segment_sum(phred, tile_idx, num_segments=n_tiles)
+    counts = jax.ops.segment_sum(mask.astype(jnp.int32), tile_idx,
+                                 num_segments=n_tiles)
+    return sums, counts
+
+
+def parse_tile_ids(batch, step: int = 1):
+    """Extract Illumina tile numbers from read names (host side — names
+    never go to device). FastQC's rule: split the id on ':'; >=7 fields
+    (CASAVA 1.8+) -> field 5, 5..6 fields -> field 3. Returns
+    (row_idx int64 [Bs], tile_ordinal int32 [Bs], sorted unique tiles) or
+    None when names don't carry tile coordinates."""
+    rows, tiles = [], []
+    for i in range(0, batch.n, step):
+        name = batch.name(i)
+        head = name.split(b" ", 1)[0].split(b"\t", 1)[0]
+        parts = head.split(b":")
+        if len(parts) >= 7:
+            f = parts[4]
+        elif len(parts) >= 5:
+            f = parts[2]
+        else:
+            return None
+        try:
+            t = int(f)
+        except ValueError:
+            return None
+        rows.append(i)
+        tiles.append(t)
+    if not tiles:
+        return None
+    uniq = sorted(set(tiles))
+    if len(uniq) > 2048:  # not plausibly tile numbers
+        return None
+    lut = {t: j for j, t in enumerate(uniq)}
+    ords = np.asarray([lut[t] for t in tiles], np.int32)
+    return np.asarray(rows, np.int64), ords, uniq
+
+
+KMER_K = 7  # FastQC Kmer module word size
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def kmer_position_counts(seq: jax.Array, lens: jax.Array, n_valid: jax.Array,
+                         k: int = KMER_K) -> jax.Array:
+    """Per-start-position k-mer counts (FastQC Kmer module; ngstpu
+    extension beyond the reference R script).
+
+    Builds the 2-bit id of the k-mer starting at every cycle via k shifted
+    compares (A=0 C=1 G=2 T=3, uppercase; windows containing any other
+    byte are dropped, as FastQC skips kmers with N) and segment-sums the
+    valid windows into an int32 [L, 4^k] table.
+    """
+    B, L = seq.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    code = jnp.full(seq.shape, 4, jnp.int32)
+    for ch, v in ((b"A", 0), (b"C", 1), (b"G", 2), (b"T", 3)):
+        code = jnp.where(seq == ch[0], v, code)
+    ids = jnp.zeros((B, L), jnp.int32)
+    ok = jnp.ones((B, L), bool)
+    for j in range(k):
+        cj = code[:, j:] if j == 0 else jnp.pad(
+            code[:, j:], ((0, 0), (0, j)), constant_values=4)
+        ok = ok & (cj < 4)
+        ids = (ids << 2) | jnp.where(cj < 4, cj, 0)
+    valid = ok & (col + k <= lens[:, None]) & (row < n_valid)
+    n_kmers = 4 ** k
+    seg = col * n_kmers + ids
+    flat = jax.ops.segment_sum(valid.astype(jnp.int32).ravel(), seg.ravel(),
+                               num_segments=L * n_kmers)
+    return flat.reshape(L, n_kmers)
+
+
+def kmer_id_to_str(kid: int, k: int = KMER_K) -> str:
+    out = []
+    for _ in range(k):
+        out.append("ACGT"[kid & 3])
+        kid >>= 2
+    return "".join(reversed(out))
+
+
+def kmer_report(counts: np.ndarray, k: int = KMER_K, limit: int = 20,
+                min_total: int = 10, min_ratio: float = 5.0
+                ) -> list[tuple[str, int, float, int]]:
+    """FastQC-style enrichment table from kmer_position_counts output.
+
+    expected[p, K] = total(K) * windows(p) / total_windows; rows =
+    (kmer, total count, max obs/expected, 1-based position of the max),
+    kmers with max ratio >= min_ratio, strongest first, capped at limit.
+    """
+    counts = np.asarray(counts, np.int64)
+    totals = counts.sum(axis=0)
+    win_per_pos = counts.sum(axis=1)
+    total_windows = win_per_pos.sum()
+    if total_windows == 0:
+        return []
+    hot = np.flatnonzero(totals >= min_total)
+    if len(hot) == 0:
+        return []
+    exp = (totals[None, hot] *
+           (win_per_pos[:, None] / total_windows))  # [L, |hot|]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(exp > 0, counts[:, hot] / exp, 0.0)
+    best_pos = ratio.argmax(axis=0)
+    best = ratio[best_pos, np.arange(len(hot))]
+    keep = np.flatnonzero(best >= min_ratio)
+    order = keep[np.argsort(best[keep], kind="stable")[::-1]][:limit]
+    return [(kmer_id_to_str(int(hot[j]), k), int(totals[hot[j]]),
+             float(best[j]), int(best_pos[j]) + 1) for j in order]
+
+
 def fastqc_stats_numpy(seq_list: list[bytes], qual_list: list[bytes]):
     """Reference-semantics oracle for tests (direct port)."""
     quality = np.zeros((128, MAX_LEN), dtype=np.int64)

@@ -21,8 +21,10 @@ import jax.numpy as jnp
 
 from ..io.fastq import read_fastq_file
 from ..io.native import concat_pairs
-from ..ops.fastqc import (ADAPTERS, MAX_LEN, adapter_content, fastqc_stats,
-                          overrepresented, truncated_key)
+from ..ops.fastqc import (ADAPTERS, KMER_K, MAX_LEN, adapter_content,
+                          fastqc_stats, kmer_position_counts, kmer_report,
+                          overrepresented, parse_tile_ids, per_tile_quality,
+                          truncated_key)
 from ..ops.sortengine import dedup_groups, seq_words
 from ..utils.png import Canvas, write_png
 from ..utils.timing import StageTimer
@@ -174,6 +176,51 @@ def run(out_prefix: str, fq1: str, fq2: str | None) -> None:
         _chart_lines(f"{out_prefix}_adapter_mate{idx}.png",
                      {name.split()[0] + str(a): ac[a]
                       for a, (name, _) in enumerate(ADAPTERS)})
+
+        # per-base N content (FastQC module): N row of the nt matrix
+        with open(f"{out_prefix}_ncontent_mate{idx}.tsv", "w") as f:
+            f.write("#cycle\tn_pct\n")
+            col_tot = nmat.sum(axis=0)
+            for i in range(L):
+                if col_tot[i]:
+                    f.write(f"{i + 1}\t"
+                            f"{nmat[4, i] * 100.0 / col_tot[i]:.4f}\n")
+
+        # per-tile quality (FastQC module; sampled like FastQC when big)
+        step = 10 if b.n >= 20000 else 1
+        parsed = parse_tile_ids(b, step=step)
+        if parsed is not None:
+            rows_idx, tile_ord, tiles = parsed
+            squal = jnp.asarray(b.qual[rows_idx])
+            slens = jnp.asarray(b.lens[rows_idx])
+            sums, cnts = per_tile_quality(squal, slens,
+                                          jnp.int32(len(rows_idx)),
+                                          jnp.asarray(tile_ord), len(tiles))
+            sums, cnts = np.asarray(sums, np.int64), np.asarray(cnts, np.int64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                tile_mean = np.where(cnts > 0, sums / np.maximum(cnts, 1), 0.0)
+                g_cnt = cnts.sum(axis=0)
+                g_mean = np.where(g_cnt > 0,
+                                  sums.sum(axis=0) / np.maximum(g_cnt, 1), 0.0)
+            dev = np.where(cnts > 0, tile_mean - g_mean[None, :], 0.0)
+            with open(f"{out_prefix}_per_tile_mate{idx}.tsv", "w") as f:
+                f.write("#tile\\cycle\t" + "\t".join(
+                    str(c + 1) for c in range(dev.shape[1])) + "\n")
+                for t, tile in enumerate(tiles):
+                    f.write(f"{tile}\t" + "\t".join(
+                        f"{dev[t, c]:.3f}" for c in range(dev.shape[1]))
+                        + "\n")
+
+        # kmer enrichment (FastQC module; every 50th read like FastQC)
+        kstep = 50 if b.n >= 5000 else 1
+        krows = np.arange(0, b.n, kstep, dtype=np.int64)
+        kc = np.asarray(kmer_position_counts(
+            jnp.asarray(b.seq[krows]), jnp.asarray(b.lens[krows]),
+            jnp.int32(len(krows))))
+        with open(f"{out_prefix}_kmer_mate{idx}.tsv", "w") as f:
+            f.write("#kmer\tcount\tmax_obs_exp\tposition\n")
+            for km, cnt, ratio, pos in kmer_report(kc, KMER_K):
+                f.write(f"{km}\t{cnt}\t{ratio:.3f}\t{pos}\n")
 
     counts, rep, key, key_lens = dup_groups(b1, b2)
     dups = np.sort(counts)[::-1]

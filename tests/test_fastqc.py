@@ -101,3 +101,116 @@ def test_overrepresented_table(tmp_path):
     assert int(top[1]) == 200
     assert abs(float(top[2]) - 20.0) < 1e-6
     assert (tmp_path / "qc_adapter_mate1.tsv").exists()
+
+
+def test_per_tile_quality_vs_numpy(tmp_path):
+    from ngstpu.ops.fastqc import parse_tile_ids, per_tile_quality
+    import jax.numpy as jnp
+    from ngstpu.io.fastq import read_fastq_file
+
+    rng = np.random.default_rng(13)
+    recs = []
+    L = 40
+    for i in range(240):
+        tile = 1100 + (i % 3)  # three tiles
+        q = (rng.integers(33, 74, L, dtype=np.uint8) + (i % 3)).clip(33, 104)
+        s = rng.choice(np.frombuffer(b"ACGT", np.uint8), L).tobytes()
+        recs.append(b"@M01:2:FC1:1:%d:%d:%d 1:N:0:1\n%s\n+\n%s\n"
+                    % (tile, i, i, s, q.tobytes()))
+    p = tmp_path / "t.fq"
+    p.write_bytes(b"".join(recs))
+    b = read_fastq_file(str(p))
+    parsed = parse_tile_ids(b, step=1)
+    assert parsed is not None
+    rows_idx, tile_ord, tiles = parsed
+    assert tiles == [1100, 1101, 1102]
+    sums, cnts = per_tile_quality(jnp.asarray(b.qual[rows_idx]),
+                                  jnp.asarray(b.lens[rows_idx]),
+                                  jnp.int32(len(rows_idx)),
+                                  jnp.asarray(tile_ord), len(tiles))
+    sums, cnts = np.asarray(sums), np.asarray(cnts)
+    # numpy oracle
+    want_s = np.zeros_like(sums)
+    want_c = np.zeros_like(cnts)
+    for j, i in enumerate(rows_idx):
+        t = tile_ord[j]
+        ln = int(b.lens[i])
+        want_s[t, :ln] += b.qual[i, :ln].astype(np.int64) - 33
+        want_c[t, :ln] += 1
+    assert np.array_equal(sums, want_s)
+    assert np.array_equal(cnts, want_c)
+
+
+def test_parse_tile_ids_old_and_bad():
+    from ngstpu.ops.fastqc import parse_tile_ids
+
+    class FakeBatch:
+        def __init__(self, names):
+            self._names = names
+            self.n = len(names)
+
+        def name(self, i):
+            return self._names[i]
+
+    # CASAVA <1.8: @HWUSI-EAS100R:6:73:941:1973#0/1 -> tile field index 2
+    b = FakeBatch([b"@HWUSI-EAS100R:6:73:941:1973#0/1",
+                   b"@HWUSI-EAS100R:6:74:941:1973#0/1"])
+    parsed = parse_tile_ids(b)
+    assert parsed is not None and parsed[2] == [73, 74]
+    # no coordinates -> module skipped
+    assert parse_tile_ids(FakeBatch([b"@read_1", b"@read_2"])) is None
+
+
+def test_kmer_counts_vs_numpy():
+    from ngstpu.ops.fastqc import (kmer_id_to_str, kmer_position_counts,
+                                   kmer_report)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(14)
+    B, L, k = 120, 36, 7
+    seq = rng.choice(np.frombuffer(b"ACGTN", np.uint8), (B, L),
+                     p=[0.24, 0.24, 0.24, 0.24, 0.04])
+    lens = rng.integers(10, L + 1, B).astype(np.int32)
+    motif = b"GATTACA"
+    seq[::4, 5:12] = np.frombuffer(motif, np.uint8)  # enriched at pos 6
+    lens[::4] = np.maximum(lens[::4], 12)
+    got = np.asarray(kmer_position_counts(jnp.asarray(seq), jnp.asarray(lens),
+                                          jnp.int32(B), k))
+    # numpy oracle
+    want = np.zeros((L, 4 ** k), np.int64)
+    code = {65: 0, 67: 1, 71: 2, 84: 3}
+    for i in range(B):
+        s = seq[i, :lens[i]]
+        for p in range(int(lens[i]) - k + 1):
+            w = s[p:p + k]
+            if all(int(c) in code for c in w):
+                kid = 0
+                for c in w:
+                    kid = (kid << 2) | code[int(c)]
+                want[p, kid] += 1
+    assert np.array_equal(got, want)
+    rows = kmer_report(got, k)
+    by_kmer = {r[0]: r for r in rows}
+    assert "GATTACA" in by_kmer and by_kmer["GATTACA"][3] == 6
+    assert by_kmer["GATTACA"][1] == 31
+    assert kmer_id_to_str(0b01001111001100, 7) == "CATTATA"
+
+
+def test_fastqc_cli_new_modules(tmp_path, monkeypatch):
+    rng = np.random.default_rng(15)
+    recs = []
+    for i in range(300):
+        s = rng.choice(np.frombuffer(b"ACGT", np.uint8), 60).tobytes()
+        recs.append(b"@M01:2:FC1:1:%d:%d:%d 1:N:0:1\n%s\n+\n%s\n"
+                    % (1101 + i % 2, i, i, s, b"I" * 60))
+    p = tmp_path / "r.fq"
+    p.write_bytes(b"".join(recs))
+    monkeypatch.chdir(tmp_path)
+    assert cli_main(["fastqc", "qc", str(p)]) == 0
+    assert (tmp_path / "qc_per_tile_mate1.tsv").stat().st_size > 0
+    assert (tmp_path / "qc_kmer_mate1.tsv").exists()
+    nc = (tmp_path / "qc_ncontent_mate1.tsv").read_text().splitlines()
+    assert nc[0].startswith("#") and len(nc) == 61
+    tile_rows = (tmp_path / "qc_per_tile_mate1.tsv").read_text().splitlines()
+    assert tile_rows[1].split("\t")[0] == "1101"
+    assert len(tile_rows) == 3
