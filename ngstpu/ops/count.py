@@ -106,10 +106,11 @@ def _qc_placement() -> str:
     """NGSTPU_QC = device | host | auto (default auto).
 
     auto: the device kernels are the default; if a timed device batch shows
-    the host->device link running below NGSTPU_QC_BW_MIN MB/s (default 150 —
-    i.e. a tunneled/remote chip, not PCIe/ICI), later batches accumulate
-    host-side with the native threaded histogram instead. Both paths count
-    exactly; totals are merged, so placement never changes results.
+    the host->device link running below NGSTPU_QC_BW_MIN MB/s (default 1000
+    — i.e. a tunneled/remote chip, not PCIe/ICI), later batches accumulate
+    host-side with the native threaded histogram instead (which runs at
+    multiple GB/s, so it beats any thinner link). Both paths count exactly;
+    totals are merged, so placement never changes results.
     """
     import os
 
@@ -157,6 +158,9 @@ class QCAccumulator:
 
     def add_batch(self, qual: np.ndarray, lens: np.ndarray,
                   n_valid: int | None = None) -> None:
+        """Accumulate one batch. Rows may be unpadded; the device path
+        bucket-pads internally (host path slices [:n_valid] directly, so
+        callers need not copy into padded buffers)."""
         if n_valid is None:
             n_valid = qual.shape[0]
         mode = self._mode
@@ -169,6 +173,12 @@ class QCAccumulator:
         if mode == "host" and self._add_host(qual, lens, n_valid):
             return
         self._host_q = None
+        from ..utils.padding import bucket_rows, pad_rows
+
+        b = bucket_rows(qual.shape[0])
+        if b != qual.shape[0]:
+            qual = pad_rows(qual, b)
+            lens = pad_rows(lens, b)
         fn = _accumulate_pallas if _use_pallas(qual.shape[0]) else _accumulate
         self._dev_q, self._dev_len = fn(
             self._dev_q, self._dev_len, jnp.asarray(qual), jnp.asarray(lens),

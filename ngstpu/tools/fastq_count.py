@@ -18,15 +18,13 @@ from concurrent.futures import ThreadPoolExecutor
 
 from ..io.fastq import FastqChunkReader
 from ..ops.count import QCAccumulator
-from ..utils.padding import bucket_rows, pad_rows
 from ..utils.timing import StageTimer
 
 
 def count_file(path: str) -> QCAccumulator:
     acc = QCAccumulator()
     for batch in FastqChunkReader(path, need=("qual",)):
-        b = bucket_rows(batch.n)
-        acc.add_batch(pad_rows(batch.qual, b), pad_rows(batch.lens, b), batch.n)
+        acc.add_batch(batch.qual, batch.lens, batch.n)
     return acc
 
 

@@ -22,7 +22,6 @@ import jax.numpy as jnp
 from ..io.fastq import format_fastq, read_fastq_file
 from ..ops.count import QCAccumulator
 from ..ops.sortengine import sum_quality_host
-from ..utils.padding import bucket_rows, pad_rows
 from ..utils.timing import StageTimer
 from .fastq_count import _row
 from .fastq_trim import trim_batch
@@ -47,9 +46,7 @@ def run(infile: str, prefix: str, start: int, end: int,
     sumq_parts = []
     all_dna3 = True
     for chunk in FastqChunkReader(infile):
-        b = bucket_rows(chunk.n)
-        acc.add_batch(pad_rows(chunk.qual, b), pad_rows(chunk.lens, b),
-                      chunk.n)
+        acc.add_batch(chunk.qual, chunk.lens, chunk.n)
         sumq_parts.append(sum_quality_host(chunk.qual))
         if all_dna3 and is_dna3_compatible(chunk.seq, None):
             word_chunks.append(seq_words(chunk.seq, dna3=True))

@@ -5,7 +5,9 @@ The device kernels are always the default compute path; on a thin link
 more than host-side C++ compute. One ~8MB device_put is timed the first
 time a placement-aware op sees a big operand; every such op then shares
 the verdict. NGSTPU_LINK=host|device overrides; NGSTPU_QC_BW_MIN (MB/s,
-default 150) is the threshold.
+default 1000) is the threshold: the native host paths these ops fall back
+to (threaded qc histogram, pileup sweep) run at multiple GB/s even on a
+2-core host, so shipping operands only wins on a co-located PCIe/ICI link.
 """
 
 from __future__ import annotations
@@ -18,7 +20,7 @@ _VERDICT: list = []  # [] = unmeasured; ["host"|"device"]
 
 
 def bw_min() -> float:
-    return float(os.environ.get("NGSTPU_QC_BW_MIN", "150")) * 1e6
+    return float(os.environ.get("NGSTPU_QC_BW_MIN", "1000")) * 1e6
 
 
 def link_verdict() -> str | None:
