@@ -126,29 +126,38 @@ def read_bai(path: str) -> list[tuple[dict[int, list[tuple[int, int]]],
         data = f.read()
     if data[:4] != b"BAI\x01":
         raise ValueError("not a BAI index")
-    (n_ref,) = struct.unpack_from("<i", data, 4)
-    o = 8
-    refs = []
-    for _ in range(n_ref):
-        (n_bin,) = struct.unpack_from("<i", data, o)
-        o += 4
-        bins: dict[int, list[tuple[int, int]]] = {}
-        for _ in range(n_bin):
-            b, n_chunk = struct.unpack_from("<Ii", data, o)
-            o += 8
-            chunks = []
-            for _ in range(n_chunk):
-                vs, ve = struct.unpack_from("<QQ", data, o)
-                o += 16
-                chunks.append((vs, ve))
-            if b != 37450:  # metadata pseudo-bin
-                bins[b] = chunks
-        (n_intv,) = struct.unpack_from("<i", data, o)
-        o += 4
-        lin = np.frombuffer(data, dtype="<u8", count=n_intv, offset=o)
-        o += 8 * n_intv
-        refs.append((bins, lin.astype(np.uint64)))
-    return refs
+    try:
+        (n_ref,) = struct.unpack_from("<i", data, 4)
+        if n_ref < 0:
+            raise ValueError("corrupt BAI: negative n_ref")
+        o = 8
+        refs = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", data, o)
+            o += 4
+            bins: dict[int, list[tuple[int, int]]] = {}
+            for _ in range(n_bin):
+                b, n_chunk = struct.unpack_from("<Ii", data, o)
+                o += 8
+                if n_chunk < 0 or o + 16 * n_chunk > len(data):
+                    raise ValueError("corrupt BAI: chunk list exceeds file")
+                chunks = []
+                for _ in range(n_chunk):
+                    vs, ve = struct.unpack_from("<QQ", data, o)
+                    o += 16
+                    chunks.append((vs, ve))
+                if b != 37450:  # metadata pseudo-bin
+                    bins[b] = chunks
+            (n_intv,) = struct.unpack_from("<i", data, o)
+            o += 4
+            if n_intv < 0 or o + 8 * n_intv > len(data):
+                raise ValueError("corrupt BAI: linear index exceeds file")
+            lin = np.frombuffer(data, dtype="<u8", count=n_intv, offset=o)
+            o += 8 * n_intv
+            refs.append((bins, lin.astype(np.uint64)))
+        return refs
+    except struct.error as e:  # truncated/garbage index
+        raise ValueError(f"corrupt BAI index: {e}") from e
 
 
 def region_voffsets(bai_refs, tid: int, beg: int, end: int

@@ -91,8 +91,8 @@ def parse_header(data: bytes) -> tuple[BamHeader, int]:
     return BamHeader(text=text, ref_names=names, ref_lens=lens), o
 
 
-def _scan_python(body: np.ndarray) -> BamColumns:
-    """Pure-python fallback scanner."""
+def _scan_python(body: np.ndarray, strict: bool = True) -> BamColumns:
+    """Pure-python fallback scanner (validation mirrors ngs_bam_count)."""
     data = body.tobytes()
     n = len(data)
     offs, lens, tids, poss, flags, mapqs, lseqs, gcs = [], [], [], [], [], [], [], []
@@ -104,12 +104,18 @@ def _scan_python(body: np.ndarray) -> BamColumns:
         bs = struct.unpack_from("<I", data, o)[0]
         if o + 4 + bs > n:
             break
+        if bs < 32:
+            raise ValueError("malformed BAM record (block_size < 32)")
         r = o + 4
         tid, pos = struct.unpack_from("<ii", data, r)
         l_read_name = data[r + 8]
         mapq = data[r + 9]
         nc, flag = struct.unpack_from("<HH", data, r + 12)
         l_seq = struct.unpack_from("<i", data, r + 16)[0]
+        if (l_read_name < 1 or l_seq < 0
+                or 32 + l_read_name + 4 * nc + (l_seq + 1) // 2 + l_seq > bs):
+            raise ValueError("malformed BAM record (field sizes exceed"
+                             " block_size)")
         p = r + 32 + l_read_name
         cig_off.append(len(ops_all))
         n_cig.append(nc)
@@ -130,6 +136,8 @@ def _scan_python(body: np.ndarray) -> BamColumns:
         lseqs.append(l_seq)
         gcs.append(g)
         o += 4 + bs
+    if strict and o != n:
+        raise ValueError("truncated BAM alignment section")
     return BamColumns(
         rec_offset=np.array(offs, np.int64), rec_len=np.array(lens, np.int32),
         tid=np.array(tids, np.int32), pos=np.array(poss, np.int32),
@@ -141,15 +149,29 @@ def _scan_python(body: np.ndarray) -> BamColumns:
         cigar_len=np.array(clens_all, np.uint32), body=body)
 
 
-def scan_records(body: np.ndarray) -> BamColumns:
+def scan_records(body: np.ndarray, strict: bool = True) -> BamColumns:
+    """Columnar record scan of a decompressed alignment section.
+
+    strict=True (whole-file reads) raises ValueError on a trailing partial
+    record; strict=False (BAI-bounded block-range decodes, where the last
+    block legitimately cuts a record) stops cleanly at it. A record whose
+    claimed name/cigar/seq sizes exceed its block_size is malformed and
+    raises in both modes — the scanners never read past validated bounds.
+    """
     lib = get_lib()
     if lib is None:
-        return _scan_python(body)
+        return _scan_python(body, strict=strict)
     import ctypes
 
     n_rec = ctypes.c_int64()
     n_cig = ctypes.c_int64()
-    lib.ngs_bam_count(body, len(body), ctypes.byref(n_rec), ctypes.byref(n_cig))
+    rc = lib.ngs_bam_count(body, len(body), ctypes.byref(n_rec),
+                           ctypes.byref(n_cig))
+    if rc == 2:
+        raise ValueError("malformed BAM record (field sizes exceed"
+                         " block_size)")
+    if rc == 1 and strict:
+        raise ValueError("truncated BAM alignment section")
     R, C = n_rec.value, n_cig.value
     cols = BamColumns(
         rec_offset=np.empty(R, np.int64), rec_len=np.empty(R, np.int32),
@@ -225,15 +247,19 @@ def read_bam_region(path: str, ref_name_or_tid, beg: int, end: int
     if window is None:
         return header, empty
     v_lo, v_hi = window
-    blk_lo = int(np.searchsorted(starts, v_lo >> 16, side="right")) - 1
+    blk_lo = max(int(np.searchsorted(starts, v_lo >> 16, side="right")) - 1, 0)
     blk_hi = int(np.searchsorted(starts, v_hi >> 16, side="right"))
     if (v_hi & 0xFFFF) == 0:
         blk_hi -= 1  # chunk ends exactly at a block boundary
     blk_hi = min(max(blk_hi, blk_lo + 1), len(starts))
     data = decompress_block_range(raw, starts, lens, isizes, blk_lo, blk_hi)
     intra = v_lo & 0xFFFF
+    if intra > len(data):
+        raise ValueError("corrupt BAI: virtual offset beyond block payload")
     body = np.frombuffer(data, dtype=np.uint8, offset=intra)
-    return header, scan_records(body)
+    # tolerate a record cut by the final block's edge (past the BAI chunk
+    # end, so never one the caller's region mask would keep)
+    return header, scan_records(body, strict=False)
 
 
 def write_bam(path: str, header: BamHeader, record_bytes: bytes,

@@ -705,7 +705,11 @@ void ngs_row_sums_u32(const uint8_t* data, int64_t b, int64_t lmax,
 // ---------------------------------------------------------------------------
 
 // Pass 1: count records and total cigar ops in a decompressed alignment
-// section buf[0..n). Returns 0 on success, nonzero on truncation.
+// section buf[0..n), validating each fully-contained record's internal
+// lengths against its block_size so pass 2 can never read out of bounds.
+// Returns 0 on success, 1 on a trailing partial record (legitimate when
+// the caller decoded a BAI-bounded block range), 2 on a malformed record
+// (claimed name/cigar/seq sizes exceed block_size — fuzzed/corrupt input).
 int ngs_bam_count(const uint8_t* buf, int64_t n, int64_t* n_rec,
                   int64_t* n_cigar_total) {
     int64_t o = 0, rec = 0, cig = 0;
@@ -713,11 +717,21 @@ int ngs_bam_count(const uint8_t* buf, int64_t n, int64_t* n_rec,
         uint32_t bs;
         memcpy(&bs, buf + o, 4);
         if (o + 4 + bs > (uint64_t)n) break;
-        if (bs >= 16) {
-            uint16_t n_cigar;
-            memcpy(&n_cigar, buf + o + 4 + 12, 2);
-            cig += n_cigar;
+        if (bs < 32) { *n_rec = rec; *n_cigar_total = cig; return 2; }
+        const uint8_t* r = buf + o + 4;
+        uint8_t l_read_name = r[8];
+        uint16_t n_cigar;
+        memcpy(&n_cigar, r + 12, 2);
+        int32_t l_seq;
+        memcpy(&l_seq, r + 16, 4);
+        if (l_read_name < 1 || l_seq < 0 ||
+            32 + (int64_t)l_read_name + 4 * (int64_t)n_cigar +
+                    ((int64_t)l_seq + 1) / 2 + (int64_t)l_seq > (int64_t)bs) {
+            *n_rec = rec;
+            *n_cigar_total = cig;
+            return 2;
         }
+        cig += n_cigar;
         ++rec;
         o += 4 + bs;
     }
@@ -736,16 +750,27 @@ void ngs_bam_scan(const uint8_t* buf, int64_t n,
                   int64_t* cigar_offset, int32_t* n_cigar_out,
                   uint8_t* cigar_op, uint32_t* cigar_len,
                   int nthreads) {
-    // sequential offset walk (cheap), then parallel field extraction
+    // sequential offset walk (cheap), then parallel field extraction.
+    // Stop conditions mirror ngs_bam_count exactly (the caller sized the
+    // output arrays from it), including the malformed-record validation.
     int64_t o = 0, rec = 0, cig = 0;
     while (o + 4 <= n) {
         uint32_t bs;
         memcpy(&bs, buf + o, 4);
         if (o + 4 + bs > (uint64_t)n) break;
+        if (bs < 32) break;
+        const uint8_t* r = buf + o + 4;
+        uint8_t l_read_name = r[8];
+        uint16_t nc;
+        memcpy(&nc, r + 12, 2);
+        int32_t l_seq;
+        memcpy(&l_seq, r + 16, 4);
+        if (l_read_name < 1 || l_seq < 0 ||
+            32 + (int64_t)l_read_name + 4 * (int64_t)nc +
+                    ((int64_t)l_seq + 1) / 2 + (int64_t)l_seq > (int64_t)bs)
+            break;
         rec_offset[rec] = o;
         rec_len[rec] = (int32_t)(4 + bs);
-        uint16_t nc = 0;
-        if (bs >= 16) memcpy(&nc, buf + o + 4 + 12, 2);
         cigar_offset[rec] = cig;
         n_cigar_out[rec] = nc;
         cig += nc;

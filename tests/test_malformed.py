@@ -111,3 +111,168 @@ def test_fuzz_parser_never_crashes(tmp_path):
         if b:
             assert int(nstarts[-1]) + int(nlens[-1]) == len(names)
             assert (lens >= 0).all() and (lens <= seq.shape[1]).all()
+
+
+# ---------------------------------------------------------------------------
+# BAM record mutation fuzz + adversarial BAI (SURVEY.md §4: robustness the
+# reference never had — its scanners trust every length field)
+# ---------------------------------------------------------------------------
+
+def _fresh_body(tmp_path, n_reads=120, seed=7):
+    from ngstpu.io.bam import parse_header
+    from ngstpu.io.bgzf import read_bgzf
+    from ngstpu.testing.bamfixtures import random_bam
+
+    bam = tmp_path / "fuzz.bam"
+    random_bam(str(bam), [("c1", 60000), ("c2", 40000)], n_reads, seed=seed)
+    data = read_bgzf(str(bam))
+    _, body_off = parse_header(data)
+    return bytearray(data[body_off:])
+
+
+def test_fuzz_bam_record_mutations(tmp_path):
+    """Random byte mutations of the alignment section either raise
+    ValueError or scan to internally-consistent columns — never crash,
+    never read past validated bounds."""
+    import numpy as np
+
+    from ngstpu.io.bam import scan_records
+
+    base = _fresh_body(tmp_path)
+    rng = np.random.default_rng(11)
+    for trial in range(80):
+        body = bytearray(base)
+        for _ in range(int(rng.integers(1, 5))):
+            op = int(rng.integers(0, 3))
+            pos = int(rng.integers(0, len(body)))
+            if op == 0:
+                body[pos] = int(rng.integers(0, 256))
+            elif op == 1:
+                del body[pos]
+            else:
+                body.insert(pos, int(rng.integers(0, 256)))
+        arr = np.frombuffer(bytes(body), np.uint8)
+        try:
+            cols = scan_records(arr, strict=True)
+        except ValueError:
+            continue
+        # survived: every record's claimed sizes must fit its block
+        n = len(arr)
+        for i in range(cols.n):
+            o, ln = int(cols.rec_offset[i]), int(cols.rec_len[i])
+            assert 0 <= o and o + ln <= n and ln >= 36
+            assert cols.l_qseq[i] >= 0
+        assert int(cols.n_cigar.sum()) == len(cols.cigar_op)
+
+
+def test_bam_scan_malformed_fields(tmp_path):
+    """Targeted corruptions: absurd n_cigar / l_seq / block_size raise
+    cleanly in both scanners."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from ngstpu.io.bam import _scan_python, scan_records
+
+    base = _fresh_body(tmp_path, n_reads=10, seed=8)
+
+    def corrupt(off_in_rec, fmt, value):
+        body = bytearray(base)
+        struct.pack_into(fmt, body, 4 + off_in_rec, value)
+        return np.frombuffer(bytes(body), np.uint8)
+
+    cases = [
+        corrupt(12, "<H", 0xFFFF),             # n_cigar way past block
+        corrupt(16, "<i", 1 << 30),             # l_seq way past block
+        corrupt(16, "<i", -5),                  # negative l_seq
+        corrupt(8, "<B", 0xFF),                 # l_read_name past block
+    ]
+    body = bytearray(base)
+    struct.pack_into("<I", body, 0, 8)          # block_size < 32
+    cases.append(np.frombuffer(bytes(body), np.uint8))
+    for arr in cases:
+        with pytest.raises(ValueError):
+            scan_records(arr, strict=True)
+        with pytest.raises(ValueError):
+            _scan_python(arr, strict=True)
+
+
+def test_bam_scan_trailing_partial(tmp_path):
+    """strict=True raises on a cut final record; strict=False (the
+    BAI-bounded region decode) stops cleanly before it."""
+    import numpy as np
+    import pytest
+
+    from ngstpu.io.bam import _scan_python, scan_records
+
+    base = _fresh_body(tmp_path, n_reads=20, seed=9)
+    cut = np.frombuffer(bytes(base[: len(base) - 25]), np.uint8)
+    with pytest.raises(ValueError):
+        scan_records(cut, strict=True)
+    with pytest.raises(ValueError):
+        _scan_python(cut, strict=True)
+    full = scan_records(np.frombuffer(bytes(base), np.uint8))
+    cols = scan_records(cut, strict=False)
+    assert cols.n == full.n - 1
+    assert (np.asarray(cols.pos) == np.asarray(full.pos[:-1])).all()
+
+
+def test_bai_adversarial_indexes(tmp_path):
+    """Mutated .bai files: region decode raises ValueError or returns a
+    clean column set — never crashes, never reads out of bounds."""
+    import numpy as np
+    import pytest
+
+    from ngstpu.io.bai import read_bai, write_bai
+    from ngstpu.io.bam import read_bam_region
+    from ngstpu.testing.bamfixtures import random_bam
+
+    bam = tmp_path / "adv.bam"
+    random_bam(str(bam), [("c1", 60000)], 300, seed=10)
+    bai = write_bai(str(bam))
+    good = open(bai, "rb").read()
+
+    rng = np.random.default_rng(12)
+    outcomes = {"ok": 0, "valueerror": 0}
+    for trial in range(60):
+        data = bytearray(good)
+        for _ in range(int(rng.integers(1, 6))):
+            pos = int(rng.integers(0, len(data)))
+            data[pos] = int(rng.integers(0, 256))
+        with open(bai, "wb") as f:
+            f.write(bytes(data))
+        try:
+            got = read_bam_region(str(bam), "c1", 1000, 30000)
+        except ValueError:
+            outcomes["valueerror"] += 1
+            continue
+        assert got is not None
+        _, cols = got
+        assert cols.n >= 0
+        outcomes["ok"] += 1
+    assert sum(outcomes.values()) == 60
+
+    # targeted: voffsets far past EOF must not crash
+    with open(bai, "wb") as f:
+        f.write(good)
+    idx = read_bai(bai)
+    bins, lin = idx[0]
+    for b in bins:
+        bins[b] = [(1 << 60, (1 << 60) + (1 << 40))]
+    # rebuild a minimal BAI with the poisoned chunks
+    import struct as _s
+    out = bytearray(b"BAI\x01" + _s.pack("<i", 1) + _s.pack("<i", len(bins)))
+    for b, chunks in bins.items():
+        out += _s.pack("<Ii", b, len(chunks))
+        for vs, ve in chunks:
+            out += _s.pack("<QQ", vs, ve)
+    out += _s.pack("<i", len(lin)) + np.asarray(lin, "<u8").tobytes()
+    with open(bai, "wb") as f:
+        f.write(bytes(out))
+    try:
+        got = read_bam_region(str(bam), "c1", 1000, 30000)
+        if got is not None:
+            assert got[1].n >= 0
+    except ValueError:
+        pass
