@@ -114,6 +114,9 @@ def get_lib() -> ctypes.CDLL | None:
         lib.ngs_dna3_pack.argtypes = [
             _p_u8, _i64, _i64, _i64,
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"), _int]
+        lib.ngs_dna2_pack.argtypes = [
+            _p_u8, _i64, _i64, _i64,
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"), _int]
         lib.ngs_byte_presence.argtypes = [_p_u8, _i64, _p_u8, _int]
         lib.ngs_qc_hist.argtypes = [
             _p_u8, _p_i32, _i64, _i64, _i64, _i64,

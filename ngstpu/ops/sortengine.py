@@ -116,10 +116,18 @@ _DNA3_OK[0] = True
 for _c in DNA3_ALPHABET:
     _DNA3_OK[_c] = True
 
+# 2-bit alphabet: pure ACGT (+ NUL padding). Ranks A=0 C=1 G=2 T=3 follow
+# byte order, 16 bases/uint32. Padding (0) collides with 'A' (rank 0), so
+# 2-bit words NEVER determine row length — the dedup sort must carry the
+# explicit length key (see dedup_sorted words_encode_len=False).
+DNA2_ALPHABET = frozenset(b"ACGT")
+_DNA2_OK = np.zeros(256, dtype=bool)
+_DNA2_OK[0] = True
+for _c in DNA2_ALPHABET:
+    _DNA2_OK[_c] = True
 
-def is_dna3_compatible(padded: np.ndarray, lens: np.ndarray) -> bool:
-    """True if all valid bytes are in the 6-char DNA alphabet (host check,
-    native single-pass presence scan; numpy bincount fallback)."""
+
+def _byte_presence(padded: np.ndarray) -> np.ndarray:
     from ..io.native import get_lib
 
     flat = padded.reshape(-1)
@@ -128,9 +136,86 @@ def is_dna3_compatible(padded: np.ndarray, lens: np.ndarray) -> bool:
         present = np.zeros(256, dtype=np.uint8)
         if len(flat):
             lib.ngs_byte_presence(flat, len(flat), present, 0)
-        return bool((~(present > 0) | _DNA3_OK).all())
-    present = np.bincount(flat, minlength=256) > 0
+        return present > 0
+    return np.bincount(flat, minlength=256) > 0
+
+
+def classify_alphabet(padded: np.ndarray) -> str:
+    """One presence scan -> narrowest sort-key packing for this buffer:
+    'dna2' (pure ACGT: 16 bases/word), 'dna3' ({.ACGNT}: 10 bases/word),
+    or 'raw' (arbitrary bytes: 4/word)."""
+    present = _byte_presence(padded)
+    if (~present | _DNA2_OK).all():
+        return "dna2"
+    if (~present | _DNA3_OK).all():
+        return "dna3"
+    return "raw"
+
+
+def is_dna3_compatible(padded: np.ndarray, lens: np.ndarray) -> bool:
+    """True if all valid bytes are in the 6-char DNA alphabet (host check,
+    native single-pass presence scan; numpy bincount fallback)."""
+    present = _byte_presence(padded)
     return bool((~present | _DNA3_OK).all())
+
+
+@jax.jit
+def dna2_words(padded: jax.Array) -> jax.Array:
+    """[B, L] uint8 pure-ACGT -> [B, ceil(L/16)] uint32: sixteen 2-bit
+    ranks per word (A=0 C=1 G=2 T=3; padding packs as rank 0 = 'A', so
+    callers must keep an explicit length key — classify_alphabet gates)."""
+    B, L = padded.shape
+    ranks = jnp.zeros(padded.shape, jnp.uint32)
+    for i, c in enumerate(b"CGT"):
+        ranks = jnp.where(padded == c, jnp.uint32(i + 1), ranks)
+    groups = (L + 15) // 16
+    pad = groups * 16 - L
+    if pad:
+        ranks = jnp.pad(ranks, ((0, 0), (0, pad)))
+    ranks = ranks.reshape(B, groups, 16)
+    shifts = jnp.arange(30, -2, -2, dtype=jnp.uint32)
+    return jnp.sum(ranks << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
+def _pack_host(padded_np: np.ndarray, kind: str) -> np.ndarray | None:
+    """Native threaded rank packing; None when no native lib."""
+    from ..io.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    B, L = padded_np.shape
+    per = 16 if kind == "dna2" else 10
+    words = (L + per - 1) // per
+    out = np.empty((B, words), dtype=np.uint32)
+    if B:
+        fn = lib.ngs_dna2_pack if kind == "dna2" else lib.ngs_dna3_pack
+        fn(np.ascontiguousarray(padded_np), B, L, words, out, 0)
+    return out
+
+
+def pack_words_host(padded_np: np.ndarray, kind: str) -> np.ndarray:
+    """Collation-preserving uint32 sort words for `kind` (host array)."""
+    if kind in ("dna2", "dna3"):
+        out = _pack_host(padded_np, kind)
+        if out is not None:
+            return out
+        fn = dna2_words if kind == "dna2" else dna3_words
+        return np.asarray(fn(jnp.asarray(padded_np)))
+    return bytes_to_words_host(padded_np)
+
+
+def pack_for_dedup(padded_np: np.ndarray, kind: str | None = None
+                   ) -> tuple[jax.Array, bool]:
+    """Narrowest sort-key packing for the dedup engine.
+
+    Returns (words on device, words_encode_len): the flag is True only for
+    dna3 packing, whose reserved padding rank makes equal words imply equal
+    lengths — dedup_sorted then skips the explicit length key pass.
+    """
+    if kind is None:
+        kind = classify_alphabet(padded_np)
+    return jnp.asarray(pack_words_host(padded_np, kind)), kind == "dna3"
 
 
 @jax.jit
@@ -206,13 +291,20 @@ def lex_argsort(words: jax.Array, lens: jax.Array,
     return _lsd_perm(ops)
 
 
-@functools.partial(jax.jit, static_argnames=("length_first",))
+@functools.partial(jax.jit, static_argnames=("length_first",
+                                              "words_encode_len",
+                                              "maybe_padding"))
 def dedup_sorted(words: jax.Array, lens: jax.Array, sumq: jax.Array,
-                 n_valid: jax.Array, length_first: bool = False):
+                 n_valid: jax.Array, length_first: bool = False,
+                 words_encode_len: bool = False, maybe_padding: bool = True):
     """Sort rows and compute duplicate-group structure in one jitted pass.
 
     Padding rows (index >= n_valid) are forced to sort last via a sentinel
-    length key and are excluded from groups.
+    length key and are excluded from groups; callers that know n_valid == B
+    statically pass maybe_padding=False to skip that sort pass.
+    words_encode_len=True (dna3 packing: reserved padding rank, so equal
+    words imply equal lengths) skips the explicit length key pass. Each
+    skipped key is one fewer LSD pass over the whole batch.
 
     Returns dict of device arrays, all [B]:
       perm        sorted order (original row indices; padding rows last)
@@ -231,11 +323,14 @@ def dedup_sorted(words: jax.Array, lens: jax.Array, sumq: jax.Array,
     # (sumQ desc, original idx asc) order, so each group's FIRST sorted row
     # IS the representative the reference keeps (strict > replacement,
     # gzfastq_uniq.c:226) — no 64-bit score packing needed.
-    ops: list[jax.Array] = [(~valid).astype(jnp.uint32)]
+    ops: list[jax.Array] = []
+    if maybe_padding:
+        ops.append((~valid).astype(jnp.uint32))
     if length_first:
         ops.append(lens)
     ops.extend([words[:, w] for w in range(W)])
-    ops.append(lens)
+    if not (words_encode_len or length_first):
+        ops.append(lens)
     ops.append(-sumq.astype(jnp.int32))
     perm = _lsd_perm(ops)
 
@@ -261,7 +356,9 @@ DEVICE_DEDUP_LIMIT = int(__import__("os").environ.get(
 def _dedup_host(words_np: np.ndarray, lens_np: np.ndarray,
                 sumq_np: np.ndarray, n_valid: int, length_first: bool):
     """Host spill path for unique-sets beyond HBM (SURVEY.md §2b #4):
-    numpy lexsort with identical key order to the device path."""
+    numpy lexsort with identical key order to the device path (the full
+    key set — pass-skipping flags only change which NO-OP keys the device
+    chain omits, never the resulting order)."""
     # np.lexsort: LAST key is primary. Significance (most->least):
     # validity, (lens if length_first), words[0..W-1], lens, -sumq, idx.
     keys = [np.arange(len(lens_np))]           # idx (least significant)
@@ -280,7 +377,7 @@ def _dedup_host(words_np: np.ndarray, lens_np: np.ndarray,
 
 
 def dedup_groups(words: jax.Array, lens, sumq, n_valid: int,
-                 length_first: bool = False):
+                 length_first: bool = False, words_encode_len: bool = False):
     """Host-side wrapper around dedup_sorted.
 
     Returns dict of numpy arrays:
@@ -301,7 +398,9 @@ def dedup_groups(words: jax.Array, lens, sumq, n_valid: int,
                                     np.asarray(sumq), n_valid, length_first)
     else:
         res = dedup_sorted(words, lens, sumq, jnp.int32(n_valid),
-                           length_first=length_first)
+                           length_first=length_first,
+                           words_encode_len=words_encode_len,
+                           maybe_padding=words.shape[0] != n_valid)
         perm = np.asarray(res["perm"])
         is_head = np.asarray(res["is_head"])
     head_pos = np.flatnonzero(is_head)

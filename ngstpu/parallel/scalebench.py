@@ -59,12 +59,12 @@ def _bench_mesh(n_dev: int, reads_per_chip: int, read_len: int,
     wd = jnp.asarray(np.asarray(packed).astype(np.uint32))
     ld = jnp.asarray(lens)
     qd = jnp.asarray(sumq)
-    res = dedup_sorted(wd, ld, qd, jnp.int32(B))
+    res = dedup_sorted(wd, ld, qd, jnp.int32(B), maybe_padding=False)
     jax.block_until_ready(res["perm"])
     t_sort = float("inf")
     for _ in range(max(iters - 2, 1)):
         t0 = time.monotonic()
-        res = dedup_sorted(wd, ld, qd, jnp.int32(B))
+        res = dedup_sorted(wd, ld, qd, jnp.int32(B), maybe_padding=False)
         int(res["n_groups"])
         t_sort = min(t_sort, time.monotonic() - t0)
 

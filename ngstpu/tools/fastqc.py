@@ -25,7 +25,7 @@ from ..ops.fastqc import (ADAPTERS, KMER_K, MAX_LEN, adapter_content,
                           fastqc_stats, kmer_position_counts, kmer_report,
                           overrepresented, parse_tile_ids, per_tile_quality,
                           truncated_key)
-from ..ops.sortengine import dedup_groups, seq_words
+from ..ops.sortengine import dedup_groups, pack_for_dedup
 from ..utils.png import Canvas, write_png
 from ..utils.timing import StageTimer
 
@@ -49,9 +49,10 @@ def dup_groups(b1, b2=None):
         key_lens = (l1.astype(np.int64) + l2.astype(np.int64)).astype(np.int32)
     else:
         key, key_lens = k1, l1
-    g = dedup_groups(seq_words(key), jnp.asarray(key_lens),
+    words, encode_len = pack_for_dedup(key)
+    g = dedup_groups(words, jnp.asarray(key_lens),
                      jnp.zeros(len(key_lens), jnp.uint32), len(key_lens),
-                     length_first=False)
+                     length_first=False, words_encode_len=encode_len)
     return g["counts"], g["rep"], key, key_lens
 
 

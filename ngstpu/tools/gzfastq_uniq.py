@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from ..io.fastq import format_fastq, read_fastq_file
 from ..io.native import concat_pairs
 from ..io.stream import open_output, with_suffix
-from ..ops.sortengine import dedup_groups, seq_words, sum_quality_host
+from ..ops.sortengine import (dedup_groups, pack_for_dedup, seq_words,
+                              sum_quality_host)
 from ..utils.timing import StageTimer
 
 OUT_CHUNK = 1 << 20
@@ -60,9 +61,9 @@ def dedup_device(seq_padded: np.ndarray, lens: np.ndarray,
             _, _, counts, rep = distributed_dedup(
                 mesh, words, np.asarray(lens, np.int32), np.asarray(sumq))
             return rep, counts, len(counts)
-    words = seq_words(seq_padded)
+    words, encode_len = pack_for_dedup(seq_padded)
     g = dedup_groups(words, jnp.asarray(lens), sumq, len(lens),
-                     length_first=False)
+                     length_first=False, words_encode_len=encode_len)
     return g["rep"], g["counts"], g["n_groups"]
 
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..io.fastq import read_fastq_file
 from ..io.stream import open_output, with_suffix
-from ..ops.sortengine import dedup_groups, seq_words
+from ..ops.sortengine import dedup_groups, pack_for_dedup
 from ..utils.timing import StageTimer
 
 
@@ -45,10 +45,11 @@ def main(argv: list[str]) -> int:
 
     batch = read_fastq_file(read1)
     n = batch.n
-    words = seq_words(batch.seq)
+    words, encode_len = pack_for_dedup(batch.seq)
     # sumq=0 -> members ordered by input index within each group
     g = dedup_groups(words, jnp.asarray(batch.lens),
-                     jnp.zeros(n, jnp.uint32), n, length_first=False)
+                     jnp.zeros(n, jnp.uint32), n, length_first=False,
+                     words_encode_len=encode_len)
     perm = g["perm"]
     n_groups = g["n_groups"]
     sys.stderr.write(

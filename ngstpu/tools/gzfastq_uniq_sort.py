@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..io.fastq import format_fastq, read_fastq_file
 from ..io.native import concat_pairs, fill_padded
 from ..io.stream import GzipRecordWriter
-from ..ops.sortengine import dedup_groups, seq_words
+from ..ops.sortengine import dedup_groups, pack_for_dedup
 from ..utils.timing import StageTimer
 
 OUT_CHUNK = 1 << 20
@@ -78,10 +78,10 @@ def main(argv: list[str]) -> int:
     else:
         key, key_lens = b1.seq, b1.lens
 
-    words = seq_words(key)
+    words, encode_len = pack_for_dedup(key)
     g = dedup_groups(words, jnp.asarray(key_lens),
                      jnp.zeros(len(key_lens), jnp.uint32), n,
-                     length_first=False)
+                     length_first=False, words_encode_len=encode_len)
     rep, counts, n_groups = g["rep"], g["counts"], g["n_groups"]
     sys.stderr.write(f"unique reads number = {n_groups}\n")
     timer.log("Finished load hash at %.3f s\n")

@@ -24,16 +24,17 @@ import jax.numpy as jnp
 from ..io.fastq import read_fastq_file
 from ..io.native import format_fastq_take
 from ..io.stream import open_output
-from ..ops.sortengine import dedup_groups, seq_words
+from ..ops.sortengine import dedup_groups, pack_for_dedup
 from ..utils.timing import StageTimer
 
 
 def ordered_unique(batch):
     """(rep, counts): unique sequences in key order, first-occurrence
     representatives (rank i = row i of the result, 1-based)."""
-    g = dedup_groups(seq_words(batch.seq), jnp.asarray(batch.lens),
+    words, encode_len = pack_for_dedup(batch.seq)
+    g = dedup_groups(words, jnp.asarray(batch.lens),
                      jnp.zeros(batch.n, jnp.uint32), batch.n,
-                     length_first=False)
+                     length_first=False, words_encode_len=encode_len)
     return g["rep"], g["counts"]
 
 

@@ -31,43 +31,53 @@ from .gzfastq_uniq import _emit
 def run(infile: str, prefix: str, start: int, end: int,
         timer: StageTimer | None = None) -> dict:
     from ..io.fastq import FastqChunkReader, concat_batches
-    from ..ops.sortengine import dedup_sorted, seq_words
+    from ..ops.sortengine import (classify_alphabet, dedup_sorted,
+                                  pack_for_dedup, pack_words_host)
 
     timer = timer or StageTimer()
 
     # Parse chunk-by-chunk, overlapping host decode with device transfers:
     # each chunk's quality histogram is dispatched and its packed sort
-    # words shipped while the reader inflates the next chunk.
-    from ..ops.sortengine import is_dna3_compatible
-
+    # words shipped while the reader inflates the next chunk. Sort keys use
+    # the narrowest packing the first chunk's alphabet allows (2-bit for
+    # pure ACGT); a later chunk with a wider alphabet forces one consistent
+    # repack of the whole batch at the end (rare: N-containing tails).
     acc = QCAccumulator()
     batches = []
     word_chunks = []
     sumq_parts = []
-    all_dna3 = True
+    kind: str | None = None
+    mixed = False
     for chunk in FastqChunkReader(infile):
         acc.add_batch(chunk.qual, chunk.lens, chunk.n)
         sumq_parts.append(sum_quality_host(chunk.qual))
-        if all_dna3 and is_dna3_compatible(chunk.seq, None):
-            word_chunks.append(seq_words(chunk.seq, dna3=True))
-        else:
-            all_dna3 = False
+        if not mixed:
+            k = classify_alphabet(chunk.seq)
+            if kind is None:
+                kind = k
+            if k == kind:
+                word_chunks.append(jnp.asarray(pack_words_host(chunk.seq,
+                                                               kind)))
+            else:
+                mixed = True
         batches.append(chunk)
     batch = concat_batches(batches)
     timer.checkpoint("parse")
 
-    if all_dna3 and word_chunks:
+    if not mixed and word_chunks:
         wmax = max(w.shape[1] for w in word_chunks)
         words = jnp.concatenate(
             [jnp.pad(w, ((0, 0), (0, wmax - w.shape[1])))
              if w.shape[1] != wmax else w for w in word_chunks])
+        encode_len = kind == "dna3"
     else:
-        # exotic alphabet somewhere: one consistent raw-byte packing
-        words = seq_words(batch.seq)
+        # alphabet widened mid-file: one consistent repack
+        words, encode_len = pack_for_dedup(batch.seq)
     sumq = jnp.asarray(np.concatenate(sumq_parts) if sumq_parts
                        else np.zeros(0, np.uint32))
     res = dedup_sorted(words, jnp.asarray(batch.lens), sumq,
-                       jnp.int32(batch.n), length_first=False)
+                       jnp.int32(batch.n), length_first=False,
+                       words_encode_len=encode_len, maybe_padding=False)
     timer.checkpoint("dispatch")
 
     # 2) trim (host slice + write) overlaps the device sort; the threaded

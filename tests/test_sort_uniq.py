@@ -201,3 +201,88 @@ def test_ordered_uniq_rank_semantics(tmp_path):
     assert rc == 0
     top = (tmp_path / "r.fq").read_bytes().splitlines()
     assert len(top) == 20 and top[1] == seqs[0]
+
+
+# ---------------- 2-bit packing path ----------------
+
+def test_classify_alphabet():
+    from ngstpu.ops import sortengine as se
+
+    acgt = np.frombuffer(b"ACGTACGT" + b"\x00" * 8, np.uint8).reshape(2, 8)
+    assert se.classify_alphabet(acgt) == "dna2"
+    withn = np.frombuffer(b"ACGNACGT" + b"\x00" * 8, np.uint8).reshape(2, 8)
+    assert se.classify_alphabet(withn) == "dna3"
+    raw = np.frombuffer(b"ACGXACGT" + b"\x00" * 8, np.uint8).reshape(2, 8)
+    assert se.classify_alphabet(raw) == "raw"
+
+
+def test_dna2_words_native_matches_jax():
+    from ngstpu.io import native
+    from ngstpu.ops import sortengine as se
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(60)
+    for L in (16, 31, 32, 50, 100):
+        seq = np.frombuffer(
+            np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 64 * L)]
+            .tobytes(), np.uint8).reshape(64, L).copy()
+        lens = rng.integers(0, L + 1, 64).astype(np.int32)
+        cols = np.arange(L)[None, :]
+        seq[cols >= lens[:, None]] = 0  # zero padding like the parser
+        want = np.asarray(se.dna2_words(seq))
+        got = se.pack_words_host(seq, "dna2")
+        np.testing.assert_array_equal(got, want)
+
+
+def test_dna2_dedup_matches_raw_packing_prefix_collisions():
+    """2-bit words alias padding with 'A'; the explicit length key must
+    keep groups exact and order byte-lexicographic — exercised on a set
+    dense in A-prefix collisions ('AA', 'AAA', 'AAAA', 'AAAAC', ...)."""
+    import jax.numpy as jnp
+
+    from ngstpu.ops import sortengine as se
+
+    seqs = [b"AA", b"AAA", b"AAAA", b"AAAAC", b"AAAC", b"AACA", b"AA",
+            b"AAAA", b"CAAA", b"AAAAA", b"A", b"AAAT", b"AAAG", b"AAA"]
+    L = 32
+    B = len(seqs)
+    padded = np.zeros((B, L), np.uint8)
+    lens = np.zeros(B, np.int32)
+    for i, s in enumerate(seqs):
+        padded[i, :len(s)] = np.frombuffer(s, np.uint8)
+        lens[i] = len(s)
+    sumq = np.arange(B, dtype=np.uint32)[::-1].copy()
+
+    w2, enc2 = se.pack_for_dedup(padded, kind="dna2")
+    assert not enc2
+    g2 = se.dedup_groups(w2, jnp.asarray(lens), jnp.asarray(sumq), B,
+                         words_encode_len=enc2)
+    wr = se.bytes_to_words(jnp.asarray(padded))
+    gr = se.dedup_groups(wr, jnp.asarray(lens), jnp.asarray(sumq), B)
+    np.testing.assert_array_equal(g2["perm"], gr["perm"])
+    np.testing.assert_array_equal(g2["counts"], gr["counts"])
+    np.testing.assert_array_equal(g2["rep"], gr["rep"])
+    # order of group heads must be byte-lex ascending
+    head_seqs = [seqs[i] for i in g2["rep"]]
+    assert head_seqs == sorted(head_seqs)
+
+
+def test_uniq_se_with_n_bases(tmp_path):
+    """N-containing reads force the dna3 packing (words_encode_len) —
+    parity must hold there too."""
+    data = random_fastq(600, read_len=80, var_len=True, seed=61,
+                        dup_frac=0.4, with_n=True)
+    p = tmp_path / "in.fq"
+    p.write_bytes(data)
+    ref = run_oracle("gzfastq_uniq", ["-1", str(p), "-o", str(tmp_path / "ref")],
+                     cwd=str(tmp_path))
+    if ref is None:
+        pytest.skip("no C toolchain")
+    rc = cli_main(["gzfastq_uniq", "-1", str(p), "-o", str(tmp_path / "ours")])
+    assert rc == 0
+    ours = (tmp_path / "ours_sortKeyUniq.fq").read_bytes()
+    refd = (tmp_path / "ref_sortKeyUniq.fq").read_bytes()
+    assert ours == refd
+    assert _records((tmp_path / "ours_uniq.fq").read_bytes()) == \
+        _records((tmp_path / "ref_uniq.fq").read_bytes())
