@@ -1,15 +1,21 @@
 #!/usr/bin/env python
-"""ngstpu headline benchmark: the count+trim+uniq composite.
+"""ngstpu headline benchmark: the count+trim+uniq composite (+ pileup).
 
-BASELINE.md defines the judged metric as reads/sec/chip over the
-fastq_count + fastq_trim + gzfastq_uniq workload, against the single-core C
-reference tools compiled from /root/reference. The C tools each re-read the
-input; ngstpu's fused pipeline parses once and runs the QC histogram, trim
-and dedup sort as one device schedule, producing identical outputs.
+BASELINE.md defines the judged metrics as (1) reads/sec/chip over the
+fastq_count + fastq_trim + gzfastq_uniq workload and (2) bam2depth pileup
+bp/sec, both against the single-core C reference tools compiled from
+/root/reference. The C tools each re-read the input; ngstpu's fused
+pipeline parses once and runs the QC histogram, trim and dedup sort as one
+overlapped schedule, producing identical outputs.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
-NGSTPU_BENCH_READS scales the workload (default 2^21 reads x 100bp, ~30%
-duplicates).
+This VM's per-run performance is a lottery (page-fault and disk throughput
+swing ~5x between phases), so BOTH sides run interleaved min-of-N rounds:
+C round, ngstpu round, repeat — the min of each side is compared.
+
+Prints ONE json line: the composite metric, with the pileup numbers under
+"extra_metrics". NGSTPU_BENCH_READS scales the workload (default 2^21
+reads x 100bp, ~30% duplicates); NGSTPU_BENCH_ROUNDS the interleaving
+(default 2).
 """
 
 from __future__ import annotations
@@ -25,6 +31,7 @@ REPO = pathlib.Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 N_READS = int(os.environ.get("NGSTPU_BENCH_READS", 1 << 21))
+ROUNDS = int(os.environ.get("NGSTPU_BENCH_ROUNDS", 2))
 READ_LEN = 100
 TRIM_END = 50
 
@@ -40,19 +47,22 @@ def ensure_fixture() -> pathlib.Path:
     return p
 
 
-def time_c_reference(path: pathlib.Path, workdir: pathlib.Path) -> float | None:
+def c_composite_cmds(path: pathlib.Path, workdir: pathlib.Path):
     from ngstpu.testing.oracles import build_oracle
     exes = {t: build_oracle(t) for t in ("fastq_count", "fastq_trim",
                                          "gzfastq_uniq")}
     if any(v is None for v in exes.values()):
         return None
-    total = 0.0
-    cmds = [
+    return [
         [exes["fastq_count"], str(path)],
         [exes["fastq_trim"], "-i", str(path), "-s", "0", "-e", str(TRIM_END),
          "-o", str(workdir / "c_trim")],
         [exes["gzfastq_uniq"], "-1", str(path), "-o", str(workdir / "c_uniq")],
     ]
+
+
+def time_c(cmds, workdir: pathlib.Path) -> float | None:
+    total = 0.0
     for cmd in cmds:
         t0 = time.monotonic()
         r = subprocess.run(cmd, capture_output=True, timeout=3600,
@@ -63,24 +73,28 @@ def time_c_reference(path: pathlib.Path, workdir: pathlib.Path) -> float | None:
     return total
 
 
-def time_ngstpu(path: pathlib.Path, workdir: pathlib.Path) -> tuple[float, str, dict]:
-    from ngstpu.utils.jaxsetup import setup_jax_cache
-    setup_jax_cache()
-    import jax
+def time_ngstpu_once(path: pathlib.Path, workdir: pathlib.Path):
     from ngstpu.tools.pipeline import run
     from ngstpu.utils.timing import StageTimer
 
-    plat = jax.devices()[0].platform
-    run(str(path), str(workdir / "warm"), 0, TRIM_END)  # warmup/compile
-    best, stages = None, {}
-    for _ in range(3):  # the device tunnel is noisy; min-of-3
-        timer = StageTimer()
-        t0 = time.monotonic()
-        info = run(str(path), str(workdir / "ngs"), 0, TRIM_END, timer)
-        dt = time.monotonic() - t0
-        if best is None or dt < best:
-            best, stages = dt, info["stages"]
-    return best, plat, stages
+    timer = StageTimer()
+    t0 = time.monotonic()
+    info = run(str(path), str(workdir / "ngs"), 0, TRIM_END, timer)
+    return time.monotonic() - t0, info["stages"]
+
+
+def bench_pileup() -> dict:
+    """BASELINE metric #2 (bam2depth bp/s), folded into the same JSON."""
+    env = dict(os.environ)
+    try:
+        r = subprocess.run([sys.executable, str(REPO / "bench_pileup.py")],
+                           capture_output=True, timeout=1800, env=env)
+        sys.stderr.write(r.stderr.decode(errors="replace"))
+        line = r.stdout.decode().strip().splitlines()[-1]
+        return json.loads(line)
+    except Exception as e:  # noqa: BLE001 - report, never break the headline
+        return {"metric": "bam2depth_bp_per_sec", "value": 0.0,
+                "unit": "bp/s", "vs_baseline": 0.0, "error": str(e)}
 
 
 _printed = False
@@ -112,21 +126,39 @@ def main() -> None:
     path = ensure_fixture()
     workdir = REPO / ".cache" / "bench" / "work"
     workdir.mkdir(parents=True, exist_ok=True)
-    c_secs = time_c_reference(path, workdir)
-    ours_secs, plat, stages = time_ngstpu(path, workdir)
-    rps = N_READS / ours_secs
-    vs = (c_secs / ours_secs) if c_secs else 0.0
+
+    from ngstpu.utils.jaxsetup import setup_jax_cache
+    setup_jax_cache()
+    import jax
+    plat = jax.devices()[0].platform
+
+    cmds = c_composite_cmds(path, workdir)
+    time_ngstpu_once(path, workdir)  # warmup: compile + pool faults
+    c_best, ours_best, stages = None, None, {}
+    for _ in range(ROUNDS):
+        if cmds is not None:
+            c = time_c(cmds, workdir)
+            if c is not None and (c_best is None or c < c_best):
+                c_best = c
+        dt, st = time_ngstpu_once(path, workdir)
+        if ours_best is None or dt < ours_best:
+            ours_best, stages = dt, st
+
+    rps = N_READS / ours_best
+    vs = (c_best / ours_best) if c_best else 0.0
     stage_str = " ".join(f"{k}={v:.2f}s" for k, v in stages.items())
     sys.stderr.write(
         f"[bench] platform={plat} reads={N_READS} "
-        f"composite(count+trim+uniq) ours={ours_secs:.2f}s ({rps:,.0f} r/s) "
-        f"C_ref={'%.2f' % c_secs if c_secs else 'n/a'}s "
+        f"composite(count+trim+uniq) ours={ours_best:.2f}s ({rps:,.0f} r/s) "
+        f"C_ref={'%.2f' % c_best if c_best else 'n/a'}s "
         f"speedup={vs:.2f}x stages: {stage_str}\n")
+    pileup = bench_pileup()
     _emit({
         "metric": "count_trim_uniq_reads_per_sec",
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(vs, 3),
+        "extra_metrics": [pileup],
     })
 
 

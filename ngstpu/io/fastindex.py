@@ -1,0 +1,185 @@
+"""Offset-indexed FASTQ fast path: mmap + index, zero materialization.
+
+The generic reader (io/fastq.py) copies every record into padded matrices;
+on this class of VM the first-touch page faults for those intermediates can
+cost more than all real work combined. This path instead mmaps the input
+(plain files) and builds six per-record offset/length arrays in one native
+scan; every downstream stage (QC histograms, quality sums, 2-bit sort-key
+packing, trim/uniq text assembly) then runs as offset gathers straight out
+of the page cache via the fused native kernels (ngsio.cpp ngs_fastq_index /
+ngs_fastq_fused / ngs_trim_format_ofs / ngs_format_uniq_ofs).
+
+Replaces the reference's per-tool re-read loops (fastq_trim.c:67-89,
+gzfastq_uniq.c:170-192, fastq_count.c:106-133) with ONE pass over the bytes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+import mmap
+import os
+
+import numpy as np
+
+from .native import get_lib
+
+
+@dataclasses.dataclass
+class IndexedFastq:
+    """Raw FASTQ bytes + per-record line offsets (no copies of the data)."""
+
+    data: np.ndarray          # uint8, mmap-backed for plain files
+    name_off: np.ndarray      # int64 [B] offset of '@' line start
+    name_len: np.ndarray      # int32 [B]
+    seq_off: np.ndarray       # int64 [B]
+    seq_len: np.ndarray       # int32 [B]
+    qual_off: np.ndarray      # int64 [B]
+    qual_len: np.ndarray      # int32 [B]
+
+    @property
+    def n(self) -> int:
+        return len(self.seq_len)
+
+
+def _is_plain_file(path: str | None) -> bool:
+    if not path or path == "-":
+        return False
+    try:
+        with open(path, "rb") as f:
+            magic = f.read(2)
+        return magic != b"\x1f\x8b" and os.path.getsize(path) > 0
+    except OSError:
+        return False
+
+
+def index_fastq(path: str | None) -> IndexedFastq | None:
+    """Index a plain FASTQ file via mmap. Returns None when this fast path
+    does not apply (stdin, gzip, empty file, no native lib, or a missing
+    trailing newline) — callers fall back to the generic reader.
+
+    Raises ValueError on a line count that is not a multiple of 4 (same
+    contract as the generic parser).
+    """
+    lib = get_lib()
+    if lib is None or not _is_plain_file(path):
+        return None
+    f = open(path, "rb")
+    try:
+        mm = mmap.mmap(f.fileno(), 0, prot=mmap.PROT_READ)
+    except ValueError:
+        f.close()
+        return None
+    finally:
+        f.close()
+    if hasattr(mm, "madvise"):
+        try:
+            mm.madvise(mmap.MADV_WILLNEED)
+        except (OSError, AttributeError):
+            pass
+    data = np.frombuffer(mm, dtype=np.uint8)
+    if data[-1] != 0x0A:  # no trailing newline: generic path tolerates it
+        return None
+    t = lib.ngs_hw_threads()
+    state = np.zeros(4 + 14 * max(t, 64), dtype=np.int64)
+    n_lines = lib.ngs_fastq_scan(data, len(data), state, t)
+    if n_lines % 4:
+        raise ValueError(
+            f"FASTQ file has {n_lines} lines (not a multiple of 4)")
+    b = n_lines // 4
+    name_off = np.empty(b, np.int64)
+    name_len = np.empty(b, np.int32)
+    seq_off = np.empty(b, np.int64)
+    seq_len = np.empty(b, np.int32)
+    qual_off = np.empty(b, np.int64)
+    qual_len = np.empty(b, np.int32)
+    if b:
+        lib.ngs_fastq_index(data, len(data), state, name_off, name_len,
+                            seq_off, seq_len, qual_off, qual_len, t)
+    return IndexedFastq(data, name_off, name_len, seq_off, seq_len,
+                        qual_off, qual_len)
+
+
+def fused_stats(ix: IndexedFastq, lo: int, hi: int, words: int,
+                words_out: np.ndarray, sumq_out: np.ndarray,
+                hist_q: np.ndarray, hist_len: np.ndarray,
+                bucket_hist: np.ndarray) -> bool:
+    """Run the fused QC+pack pass over records [lo, hi).
+
+    words_out: uint32 [hi-lo, words]; sumq_out: uint32 [hi-lo];
+    hist_q: uint64 [512, 128] (accumulated); hist_len: uint64 [512]
+    (accumulated); bucket_hist: uint32 [256] (accumulated).
+    Returns True when all sequence bytes were ACGT (the 2-bit packing in
+    words_out is then valid).
+    """
+    lib = get_lib()
+    b = hi - lo
+    if b == 0:
+        return True
+    bad = lib.ngs_fastq_fused(
+        ix.data, ix.seq_off[lo:hi], ix.seq_len[lo:hi],
+        ix.qual_off[lo:hi], ix.qual_len[lo:hi], b, words,
+        words_out, sumq_out, hist_q.reshape(-1), hist_len,
+        hist_q.shape[1], hist_q.shape[0], bucket_hist, 0)
+    return bad == 0
+
+
+def trim_text(ix: IndexedFastq, lo: int, hi: int, start: int, end: int,
+              out: np.ndarray) -> int:
+    """Assemble trimmed FASTQ text for records [lo, hi) into `out`
+    (caller-sized via trim_text_size). Returns total bytes."""
+    lib = get_lib()
+    b = hi - lo
+    if b == 0:
+        return 0
+    cl = np.clip(np.minimum(ix.seq_len[lo:hi].astype(np.int64), end) - start,
+                 0, None)
+    rec = ix.name_len[lo:hi].astype(np.int64) + 1 + cl + 3 + cl + 1
+    out_starts = np.zeros(b, np.int64)
+    np.cumsum(rec[:-1], out=out_starts[1:])
+    total = int(out_starts[-1] + rec[-1])
+    lib.ngs_trim_format_ofs(
+        ix.data, ix.name_off[lo:hi], ix.name_len[lo:hi],
+        ix.seq_off[lo:hi], ix.seq_len[lo:hi],
+        ix.qual_off[lo:hi], ix.qual_len[lo:hi],
+        b, start, end, out_starts,
+        out.ctypes.data_as(ctypes.c_void_p), 0)
+    return total
+
+
+def trim_text_size(ix: IndexedFastq, start: int, end: int) -> int:
+    cl = np.clip(np.minimum(ix.seq_len.astype(np.int64), end) - start,
+                 0, None)
+    return int((ix.name_len.astype(np.int64) + 1 + cl + 3 + cl + 1).sum())
+
+
+def uniq_text(ix: IndexedFastq, rep: np.ndarray, counts: np.ndarray,
+              bufname: str) -> tuple[np.ndarray, int]:
+    """Assemble dedup-output FASTQ text (name\\tcount header records) for
+    representative rows `rep` into the named pooled buffer. Returns
+    (buffer view, total bytes)."""
+    from ..utils.bufpool import get_buffer
+
+    lib = get_lib()
+    k = len(rep)
+    if k == 0:
+        return get_buffer(bufname, 1), 0
+    rep = np.ascontiguousarray(rep, np.int64)
+    counts = np.ascontiguousarray(counts, np.int64)
+    digits = np.ones(k, np.int64)
+    c = counts // 10
+    while c.any():
+        digits += c > 0
+        c //= 10
+    sl = ix.seq_len[rep].astype(np.int64)
+    rec = (ix.name_len[rep].astype(np.int64) + 1 + digits + 1
+           + sl + 3 + sl + 1)
+    out_starts = np.zeros(k, np.int64)
+    np.cumsum(rec[:-1], out=out_starts[1:])
+    total = int(out_starts[-1] + rec[-1])
+    out = get_buffer(bufname, total)
+    lib.ngs_format_uniq_ofs(
+        ix.data, ix.name_off, ix.name_len, ix.seq_off, ix.seq_len,
+        ix.qual_off, ix.qual_len, rep, counts, k, out_starts,
+        out.ctypes.data_as(ctypes.c_void_p), 0)
+    return out, total

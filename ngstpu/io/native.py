@@ -101,6 +101,27 @@ def get_lib() -> ctypes.CDLL | None:
             _p_u8, _i64, _p_i32, _p_i64,                      # seq
             _p_u8, _i64, _p_i32, _p_i64,                      # qual
             _i64, _p_i64, _p_u8, _int]
+        lib.ngs_fastq_index.argtypes = [
+            _p_u8, _i64, _p_i64,
+            _p_i64, _p_i32, _p_i64, _p_i32, _p_i64, _p_i32, _int]
+        lib.ngs_fastq_fused.restype = _int
+        lib.ngs_fastq_fused.argtypes = [
+            _p_u8, _p_i64, _p_i32, _p_i64, _p_i32, _i64, _i64,
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+            _i64, _i64,
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"), _int]
+        lib.ngs_trim_format_ofs.argtypes = [
+            _p_u8, _p_i64, _p_i32, _p_i64, _p_i32, _p_i64, _p_i32,
+            _i64, _i32, _i32, _p_i64, ctypes.c_void_p, _int]
+        lib.ngs_format_uniq_ofs.argtypes = [
+            _p_u8, _p_i64, _p_i32, _p_i64, _p_i32, _p_i64, _p_i32,
+            _p_i64, _p_i64, _i64, _p_i64, ctypes.c_void_p, _int]
+        lib.ngs_dedup_sort_host.argtypes = [
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            ctypes.c_void_p, _int, _i64, _i64, _p_i32, _p_u8, _int]
         lib.ngs_gzip_compress_blocks.restype = _int
         lib.ngs_gzip_compress_blocks.argtypes = [
             _p_u8, _p_i64, _p_i64, _i64, _p_u8, _p_i64, _p_i64, _p_i64,

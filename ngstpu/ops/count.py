@@ -138,6 +138,24 @@ class QCAccumulator:
         self._mode = _qc_placement()
         self._n_dev_batches = 0
 
+    @classmethod
+    def from_host_partials(cls, hist_q: np.ndarray,
+                           hist_len: np.ndarray) -> "QCAccumulator":
+        """Wrap externally-accumulated host histograms (e.g. the fused
+        native pass, ngsio.cpp ngs_fastq_fused) without touching a device.
+
+        hist_q: [N_CYCLE, N_QUAL] cycle-major; hist_len: [N_CYCLE]."""
+        acc = cls.__new__(cls)
+        acc._dev_q = None
+        acc._dev_len = None
+        acc._host_q = hist_q.astype(np.int64).T  # [qual, cycle]
+        acc._host_len = hist_len.astype(np.int64)
+        acc._acc_q = None
+        acc._acc_len = None
+        acc._mode = "host"
+        acc._n_dev_batches = 0
+        return acc
+
     def _add_host(self, qual: np.ndarray, lens: np.ndarray,
                   n_valid: int) -> bool:
         from ..io.native import get_lib

@@ -349,6 +349,64 @@ def dedup_sorted(words: jax.Array, lens: jax.Array, sumq: jax.Array,
     return dict(perm=perm, is_head=is_head, n_groups=n_groups)
 
 
+@functools.partial(jax.jit, static_argnames=("length_key", "maybe_padding"))
+def sort_partition(words: jax.Array, lens: jax.Array, n_valid: jax.Array,
+                   length_key: bool = True, maybe_padding: bool = True):
+    """Key-only stable sort + group heads for one key-range partition.
+
+    Unlike dedup_sorted this carries NO quality-sum operand — one fewer LSD
+    pass; the representative (max sumQ, earliest index — reference
+    gzfastq_uniq.c:226 strict >) is recovered on the host from the stable
+    perm with two reduceats (see rep_counts_host). length_key=False skips
+    the length pass when the caller proved all row lengths equal.
+
+    Returns (perm int32 [B], is_head bool [B]); padding rows sort last and
+    are excluded from heads.
+    """
+    B, W = words.shape
+    idx = jax.lax.broadcasted_iota(jnp.int32, (B,), 0)
+    valid = idx < n_valid
+    ops: list[jax.Array] = []
+    if maybe_padding:
+        ops.append((~valid).astype(jnp.uint32))
+    ops.extend([words[:, w] for w in range(W)])
+    if length_key:
+        ops.append(lens)
+    perm = _lsd_perm(ops)
+    s_words = jnp.take(words, perm, axis=0)
+    s_valid = jnp.take(valid, perm)
+    same = jnp.all(s_words[1:] == s_words[:-1], axis=1)
+    if length_key:
+        s_lens = jnp.take(lens, perm)
+        same = same & (s_lens[1:] == s_lens[:-1])
+    same = same & s_valid[1:] & s_valid[:-1]
+    is_head = jnp.concatenate([jnp.ones((1,), bool), ~same]) & s_valid
+    return perm, is_head
+
+
+def rep_counts_host(perm: np.ndarray, is_head: np.ndarray, n_valid: int,
+                    sumq: np.ndarray):
+    """Group sizes + representative rows from a stable key-only sort.
+
+    perm/is_head: from sort_partition, already trimmed to valid rows.
+    sumq: per-row quality sums (partition-local indexing, same as perm).
+    Returns (rep_local [G], counts [G]) with groups in key order; rep is
+    the earliest row achieving the group's max sumq (strict-> replacement
+    semantics of gzfastq_uniq.c:226 — stability makes perm ascending within
+    each group, so the min perm among maximizers is the earliest occurrence).
+    """
+    head_pos = np.flatnonzero(is_head)
+    if len(head_pos) == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    counts = np.diff(np.append(head_pos, n_valid))
+    s = sumq[perm].astype(np.int64)
+    maxv = np.maximum.reduceat(s, head_pos)
+    cand = s >= np.repeat(maxv, counts)
+    p64 = np.where(cand, perm.astype(np.int64), np.iinfo(np.int64).max)
+    rep_local = np.minimum.reduceat(p64, head_pos)
+    return rep_local, counts
+
+
 DEVICE_DEDUP_LIMIT = int(__import__("os").environ.get(
     "NGSTPU_DEVICE_DEDUP_LIMIT", 4 << 30))
 

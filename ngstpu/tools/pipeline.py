@@ -1,10 +1,20 @@
 """pipeline: fused count + trim + uniq over a single pass of the input.
 
 The reference runs fastq_count, fastq_trim and gzfastq_uniq as three
-processes, each re-reading (and re-decompressing) the file. The TPU-native
-pipeline parses once, keeps the padded batch resident, and runs the QC
-histogram, the trim slice and the dedup sort as one device schedule —
-outputs are identical to running the three tools separately.
+processes, each re-reading (and re-decompressing) the file
+(fastq_count.c:106-133, fastq_trim.c:67-108, gzfastq_uniq.c:194-281). The
+TPU-native pipeline reads once and runs the QC histogram, the trim slice
+and the dedup sort as one overlapped schedule — outputs are identical to
+running the three tools separately.
+
+Fast path (plain files, ACGT data, native lib): the input is mmap'd and
+indexed in place (io/fastindex.py); ONE fused native pass computes the QC
+histograms, quality sums and 2-bit device sort keys while the trim output
+is assembled straight from the raw bytes and written by a background
+thread; the dedup runs as P key-range partitions on the device so the
+emit of partition k overlaps the sort of partition k+1; the duplicate
+_sortKeyUniq.fq output is a kernel-side copy_file_range clone. The generic
+path (stdin/gzip/wide alphabets) is the chunked padded-batch pipeline.
 
 Usage: ngstpu pipeline -i in.fq -o prefix [-s start] [-e end]
 Outputs: {prefix}.count.tsv, {prefix}.trim.fastq, {prefix}_uniq.fq,
@@ -14,7 +24,10 @@ Outputs: {prefix}.count.tsv, {prefix}.trim.fastq, {prefix}_uniq.fq,
 from __future__ import annotations
 
 import getopt
+import os
+import queue
 import sys
+import threading
 
 import numpy as np
 import jax.numpy as jnp
@@ -27,14 +40,258 @@ from .fastq_count import _row
 from .fastq_trim import trim_batch
 from .gzfastq_uniq import _emit
 
+N_PARTS = 4
+CHUNK_RECORDS = 1 << 19
 
-def run(infile: str, prefix: str, start: int, end: int,
-        timer: StageTimer | None = None) -> dict:
+
+class _RingWriter:
+    """Background single-file writer fed from a ring of pooled buffers.
+
+    The producer borrows a buffer name via `acquire()`, fills it, and
+    `submit()`s (view, nbytes); the writer thread writes and returns the
+    name to the free ring — formatting chunk k+1 overlaps writing chunk k
+    without ever copying the text (the kt_pipeline overlap of reference
+    klib/kthread.c:83-143 on the output side)."""
+
+    def __init__(self, sink, names: list[str]):
+        self._sink = sink
+        self._free: "queue.Queue[str]" = queue.Queue()
+        for n in names:
+            self._free.put(n)
+        self._work: "queue.Queue[tuple | None]" = queue.Queue()
+        self._err: BaseException | None = None
+        self._t = threading.Thread(target=self._drain, daemon=True)
+        self._t.start()
+
+    def acquire(self) -> str:
+        return self._free.get()
+
+    def submit(self, name: str, view: np.ndarray, nbytes: int) -> None:
+        self._work.put((name, view, nbytes))
+
+    def _drain(self) -> None:
+        while True:
+            item = self._work.get()
+            if item is None:
+                return
+            name, view, nbytes = item
+            if self._err is None:
+                try:
+                    self._sink.write(memoryview(view[:nbytes]))
+                except BaseException as e:
+                    self._err = e
+            self._free.put(name)
+
+    def close(self) -> None:
+        self._work.put(None)
+        self._t.join()
+        if self._err is not None:
+            raise self._err
+
+
+class _CloningSink:
+    """Write each block to f1 and kernel-clone the written range into f2
+    (the two uniq outputs are byte-identical; copy_file_range avoids a
+    second user-space pass over the text). Falls back to a plain double
+    write where copy_file_range is unsupported."""
+
+    def __init__(self, f1, f2):
+        self._f1, self._f2 = f1, f2
+        self._off = 0
+        self._cfr = hasattr(os, "copy_file_range")
+
+    def write(self, mv) -> None:
+        n = len(mv)
+        self._f1.write(mv)
+        done = 0
+        if self._cfr:
+            try:
+                while done < n:
+                    k = os.copy_file_range(
+                        self._f1.fileno(), self._f2.fileno(), n - done,
+                        self._off + done, self._off + done)
+                    if k == 0:
+                        break
+                    done += k
+            except OSError:
+                self._cfr = False
+        if done < n:
+            self._f2.seek(self._off + done)
+            self._f2.write(mv[done:])
+        self._off += n
+
+
+def _partition_bounds(bucket_hist: np.ndarray, n_parts: int) -> np.ndarray:
+    """Key-range split points (leading packed byte) giving ~equal rows."""
+    cum = np.cumsum(bucket_hist.astype(np.int64))
+    total = int(cum[-1])
+    targets = (np.arange(1, n_parts) * total) // n_parts
+    return np.searchsorted(cum, targets).astype(np.uint32)
+
+
+def run_fast(ix, infile: str, prefix: str, start: int, end: int,
+             timer: StageTimer) -> dict | None:
+    """Offset-indexed overlapped pipeline. Returns None when the data is
+    not pure ACGT (caller falls back to the generic path)."""
+    from ..io.fastindex import fused_stats, trim_text
+    from ..ops.sortengine import rep_counts_host, sort_partition
+    from ..utils.bufpool import get_buffer, get_matrix
+
+    B = ix.n
+    lmax = int(ix.seq_len.max()) if B else 0
+    W = max(1, -(-lmax // 16))
+    words_all = get_matrix("pipe.words", B, W, np.uint32)
+    sumq_all = get_buffer("pipe.sumq", 4 * B, np.uint32)
+    hist_q = np.zeros((512, 128), np.uint64)
+    hist_len = np.zeros(512, np.uint64)
+    bucket = np.zeros(256, np.uint32)
+
+    # parse + trim: fused native pass per chunk; trim text is assembled
+    # straight from the mmap'd bytes and written by the ring writer
+    cl = np.clip(np.minimum(ix.seq_len.astype(np.int64), end) - start, 0,
+                 None)
+    trim_rec = ix.name_len.astype(np.int64) + 1 + cl + 3 + cl + 1
+    chunk_trim_cap = 1
+    for lo in range(0, B, CHUNK_RECORDS):
+        chunk_trim_cap = max(chunk_trim_cap,
+                             int(trim_rec[lo:lo + CHUNK_RECORDS].sum()))
+    ring_names = ["pipe.trim0", "pipe.trim1", "pipe.trim2"]
+    ok = True
+    with open(prefix + ".trim.fastq", "wb") as tf:
+        writer = _RingWriter(tf, ring_names)
+        try:
+            for lo in range(0, B, CHUNK_RECORDS):
+                hi = min(lo + CHUNK_RECORDS, B)
+                ok = fused_stats(ix, lo, hi, W, words_all[lo:hi],
+                                 sumq_all[lo:hi], hist_q, hist_len, bucket)
+                if not ok:
+                    break
+                name = writer.acquire()
+                buf = get_buffer(name, chunk_trim_cap)
+                total = trim_text(ix, lo, hi, start, end, buf)
+                writer.submit(name, buf, total)
+        finally:
+            writer.close()
+    if not ok:
+        return None
+    timer.checkpoint("parse")
+
+    acc = QCAccumulator.from_host_partials(hist_q, hist_len)
+    with open(prefix + ".count.tsv", "w") as out:
+        out.write(_row(infile, acc))
+
+    const_len = B > 0 and int(ix.seq_len.min()) == lmax
+    from ..utils.linkprobe import link_verdict, probe_link
+
+    verdict = link_verdict()
+    if verdict is None:
+        verdict = probe_link(words_all)
+    if verdict == "host":
+        rep_groups = _sort_host(ix, words_all, sumq_all, const_len)
+    else:
+        rep_groups = _sort_device(ix, words_all, sumq_all, bucket,
+                                  const_len, W)
+    timer.checkpoint("dispatch")
+
+    # stream the emit: format/write group block k while block k+1 is still
+    # sorting (device) or while the writer drains (host); the duplicate
+    # output is cloned range-by-range kernel-side as each block lands
+    n_groups = 0
+    from ..io.fastindex import uniq_text
+
+    uniq_path = prefix + "_uniq.fq"
+    with open(uniq_path, "wb", buffering=0) as uf, \
+            open(prefix + "_sortKeyUniq.fq", "wb", buffering=0) as cf:
+        writer = _RingWriter(_CloningSink(uf, cf), ["pipe.emit0",
+                                                    "pipe.emit1"])
+        try:
+            for rep, counts in rep_groups:
+                n_groups += len(rep)
+                if len(rep) == 0:
+                    continue
+                name = writer.acquire()
+                view, total = uniq_text(ix, rep, counts, name)
+                writer.submit(name, view, total)
+        finally:
+            writer.close()
+    timer.checkpoint("uniq_write")
+    return dict(n=B, n_groups=n_groups, stages=dict(timer.stages))
+
+
+def _sort_host(ix, words_all: np.ndarray, sumq_all: np.ndarray,
+               const_len: bool):
+    """Host placement of the dedup sort (thin accelerator link): native
+    bucketed parallel sort, then yield group blocks for the emit pipeline."""
+    import ctypes
+
+    from ..io.native import get_lib
+    from ..ops.sortengine import rep_counts_host
+
+    B = ix.n
+    lib = get_lib()
+    perm = np.empty(B, np.int32)
+    is_head = np.empty(B, np.uint8)
+    lens = np.ascontiguousarray(ix.seq_len, np.int32)
+    lib.ngs_dedup_sort_host(
+        words_all, lens.ctypes.data_as(ctypes.c_void_p),
+        0 if const_len else 1, B, words_all.shape[1], perm, is_head, 0)
+    rep_local, counts = rep_counts_host(perm, is_head.view(bool), B,
+                                        sumq_all)
+    step = 1 << 19
+    for lo in range(0, len(rep_local), step):
+        yield rep_local[lo:lo + step], counts[lo:lo + step]
+
+
+def _sort_device(ix, words_all: np.ndarray, sumq_all: np.ndarray,
+                 bucket: np.ndarray, const_len: bool, W: int):
+    """Device placement: partition rows by leading packed byte (prefix
+    order == sdscmp order on the 2-bit alphabet), dispatch one LSD sort per
+    partition, and yield each partition's groups as its results land — the
+    emit of partition p overlaps the sort of partition p+1."""
+    from ..ops.sortengine import rep_counts_host, sort_partition
+    from ..utils.bufpool import get_buffer, get_matrix
+
+    B = ix.n
+    bounds = _partition_bounds(bucket, N_PARTS)
+    top = words_all[:, 0] >> np.uint32(24) if B else np.zeros(0, np.uint32)
+    part = np.searchsorted(bounds, top, side="right")
+    handles = []
+    for p in range(N_PARTS):
+        idx_p = np.flatnonzero(part == p).astype(np.int64)
+        n_p = len(idx_p)
+        if n_p == 0:
+            continue
+        cap = -(-n_p // (256 << 10)) * (256 << 10)
+        stage = get_matrix(f"pipe.stage{p}", cap, W, np.uint32)
+        np.take(words_all, idx_p, axis=0, out=stage[:n_p])
+        if cap > n_p:
+            stage[n_p:] = 0
+        w_dev = jnp.asarray(stage)
+        if const_len:
+            l_dev = jnp.zeros((cap,), jnp.int32)
+        else:
+            lstage = get_buffer(f"pipe.lens{p}", 4 * cap, np.int32)
+            np.take(ix.seq_len, idx_p, out=lstage[:n_p])
+            if cap > n_p:
+                lstage[n_p:] = 0
+            l_dev = jnp.asarray(lstage)
+        perm, is_head = sort_partition(w_dev, l_dev, jnp.int32(n_p),
+                                       length_key=not const_len,
+                                       maybe_padding=cap > n_p)
+        handles.append((perm, is_head, idx_p, n_p))
+    for perm_d, is_head_d, idx_p, n_p in handles:
+        perm = np.asarray(perm_d)[:n_p]
+        is_head = np.asarray(is_head_d)[:n_p]
+        rep_local, counts = rep_counts_host(perm, is_head, n_p,
+                                            sumq_all[idx_p])
+        yield idx_p[rep_local], counts
+
+
+def run_generic(infile: str, prefix: str, start: int, end: int,
+                timer: StageTimer) -> dict:
     from ..io.fastq import FastqChunkReader, concat_batches
     from ..ops.sortengine import (classify_alphabet, dedup_sorted,
                                   pack_for_dedup, pack_words_host)
-
-    timer = timer or StageTimer()
 
     # Parse chunk-by-chunk, overlapping host decode with device transfers:
     # each chunk's quality histogram is dispatched and its packed sort
@@ -139,6 +396,21 @@ def run(infile: str, prefix: str, start: int, end: int,
                 stages=dict(timer.stages))
 
 
+def run(infile: str, prefix: str, start: int, end: int,
+        timer: StageTimer | None = None) -> dict:
+    timer = timer or StageTimer()
+    if not os.environ.get("NGSTPU_NO_FASTPATH"):
+        from ..io.fastindex import index_fastq
+
+        ix = index_fastq(infile)
+        if ix is not None and ix.n > 0:
+            info = run_fast(ix, infile, prefix, start, end, timer)
+            if info is not None:
+                return info
+            # non-ACGT alphabet: rerun on the generic chunked path
+    return run_generic(infile, prefix, start, end, timer)
+
+
 def main(argv: list[str]) -> int:
     timer = StageTimer()
     infiles, prefix, start, end = [], "out", 0, 400
@@ -170,8 +442,6 @@ def main(argv: list[str]) -> int:
                     pass
         except OSError:
             pass
-
-    import threading
 
     for k, infile in enumerate(infiles):
         if k + 1 < len(infiles) and infiles[k + 1] != "-":

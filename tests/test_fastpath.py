@@ -1,0 +1,152 @@
+"""Fast-path (offset-indexed) pipeline vs the generic chunked path.
+
+The fast path (io/fastindex.py + tools/pipeline.run_fast) must produce
+byte-identical outputs to the generic path on every input class it accepts,
+and fall back cleanly on the ones it does not (gzip, wide alphabets,
+missing trailing newline).
+"""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from ngstpu.testing.fixtures import random_fastq
+from ngstpu.tools.pipeline import run
+
+
+def _outputs(prefix):
+    return {s: open(prefix + s, "rb").read()
+            for s in (".count.tsv", ".trim.fastq", "_uniq.fq",
+                      "_sortKeyUniq.fq")}
+
+
+def _run_both(tmp_path, data: bytes, start=0, end=50):
+    p = tmp_path / "in.fq"
+    p.write_bytes(data)
+    run(str(p), str(tmp_path / "fast"), start, end)
+    os.environ["NGSTPU_NO_FASTPATH"] = "1"
+    try:
+        run(str(p), str(tmp_path / "gen"), start, end)
+    finally:
+        del os.environ["NGSTPU_NO_FASTPATH"]
+    fast, gen = _outputs(str(tmp_path / "fast")), _outputs(str(tmp_path / "gen"))
+    for k in gen:
+        if k == ".count.tsv":  # first column is the input path echo
+            assert fast[k].split(b"\t")[1:] == gen[k].split(b"\t")[1:], k
+        else:
+            assert fast[k] == gen[k], k
+    return fast
+
+
+def test_fastpath_matches_generic_acgt(tmp_path):
+    _run_both(tmp_path, random_fastq(3000, read_len=100, seed=11,
+                                     dup_frac=0.5))
+
+
+def test_fastpath_matches_generic_varlen(tmp_path):
+    recs = []
+    rng = np.random.default_rng(7)
+    for i in range(800):
+        L = int(rng.integers(20, 90))
+        seq = bytes(rng.choice(list(b"ACGT"), L).astype(np.uint8))
+        qual = bytes(rng.integers(33, 74, L).astype(np.uint8))
+        recs.append(b"@r%d x\n%s\n+\n%s\n" % (i, seq, qual))
+    # force duplicates with differing quality sums (rep selection)
+    recs = recs + recs[:200][::-1]
+    _run_both(tmp_path, b"".join(recs), start=5, end=40)
+
+
+def test_fastpath_falls_back_on_n_bases(tmp_path):
+    data = random_fastq(500, read_len=60, seed=3, dup_frac=0.3)
+    # inject an N into one sequence line
+    lines = data.split(b"\n")
+    lines[5] = lines[5][:10] + b"N" + lines[5][11:]
+    _run_both(tmp_path, b"\n".join(lines))
+
+
+def test_fastpath_skips_gzip(tmp_path):
+    raw = random_fastq(300, read_len=50, seed=5, dup_frac=0.2)
+    p = tmp_path / "in.fq.gz"
+    p.write_bytes(gzip.compress(raw))
+    from ngstpu.io.fastindex import index_fastq
+
+    assert index_fastq(str(p)) is None
+    info = run(str(p), str(tmp_path / "gz"), 0, 30)
+    assert info["n"] == 300
+
+
+def test_fastpath_skips_missing_trailing_newline(tmp_path):
+    raw = random_fastq(100, read_len=40, seed=9, dup_frac=0.0)
+    p = tmp_path / "no_nl.fq"
+    p.write_bytes(raw[:-1])
+    from ngstpu.io.fastindex import index_fastq
+
+    assert index_fastq(str(p)) is None
+
+
+def test_fastpath_bad_line_count(tmp_path):
+    p = tmp_path / "bad.fq"
+    p.write_bytes(b"@r1\nACGT\n+\n")
+    from ngstpu.io.fastindex import index_fastq
+
+    with pytest.raises(ValueError):
+        index_fastq(str(p))
+
+
+def test_fastpath_host_sort_placement(tmp_path, monkeypatch):
+    """NGSTPU_LINK=host routes the dedup sort to the native host engine;
+    outputs must stay byte-identical to the device placement."""
+    data = random_fastq(2500, read_len=80, seed=21, dup_frac=0.5)
+    p = tmp_path / "in.fq"
+    p.write_bytes(data)
+    run(str(p), str(tmp_path / "dev"), 0, 40)
+    monkeypatch.setenv("NGSTPU_LINK", "host")
+    run(str(p), str(tmp_path / "host"), 0, 40)
+    for s in (".trim.fastq", "_uniq.fq", "_sortKeyUniq.fq"):
+        assert (tmp_path / ("dev" + s)).read_bytes() == \
+            (tmp_path / ("host" + s)).read_bytes(), s
+
+
+def test_host_sort_varlen_matches_numpy():
+    """ngs_dedup_sort_host vs np.lexsort oracle, ragged lengths."""
+    import pytest as _pytest
+
+    from ngstpu.io.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        _pytest.skip("no native lib")
+    import ctypes
+
+    rng = np.random.default_rng(4)
+    B, W = 5000, 3
+    words = rng.integers(0, 1 << 8, (B, W)).astype(np.uint32)  # many dups
+    lens = rng.integers(0, 50, B).astype(np.int32)
+    perm = np.empty(B, np.int32)
+    is_head = np.empty(B, np.uint8)
+    lib.ngs_dedup_sort_host(np.ascontiguousarray(words),
+                            lens.ctypes.data_as(ctypes.c_void_p), 1,
+                            B, W, perm, is_head, 0)
+    keys = [np.arange(B), lens] + [words[:, w] for w in range(W - 1, -1, -1)]
+    expect = np.lexsort(tuple(keys))
+    assert (perm == expect).all()
+    sw, sl = words[perm], lens[perm]
+    same = (sw[1:] == sw[:-1]).all(axis=1) & (sl[1:] == sl[:-1])
+    assert (is_head.view(bool) == np.concatenate([[True], ~same])).all()
+
+
+def test_rep_counts_host_strict_replacement():
+    """Representative = earliest row with the max quality sum (the strict->
+    replacement of reference gzfastq_uniq.c:226)."""
+    from ngstpu.ops.sortengine import rep_counts_host
+
+    # one group of 4 rows (already 'sorted'), sumq peaks twice
+    perm = np.array([2, 0, 1, 3], np.int32)  # original indices, ascending? no
+    perm = np.array([0, 1, 2, 3], np.int32)
+    is_head = np.array([True, False, False, False])
+    sumq = np.array([5, 9, 9, 3], np.uint32)
+    rep, counts = rep_counts_host(perm, is_head, 4, sumq)
+    assert counts.tolist() == [4]
+    assert rep.tolist() == [1]  # first of the two max-sumq rows
