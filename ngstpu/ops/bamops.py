@@ -203,7 +203,9 @@ def depth_window_bins(starts, ends, depths, window: int,
 
 def wig_window_bins_exact(starts, ends, depths, window: int,
                           n_windows: int, target_len: int) -> np.ndarray:
-    """Direct port of bam2wig.c:130-175 overlap() — authoritative.
+    """Direct port of bam2wig.c:130-175 overlap() — TEST ORACLE ONLY
+    (production uses the vectorized wig_window_bins, fuzz-proven equal on
+    the sorted non-overlapping intervals the bedGraph sweep emits).
 
     Processes printed intervals in ascending order with the same window
     cursor + rewind mechanism, including the off-by-one quirks.
@@ -291,56 +293,65 @@ def depth_window_bins_exact(starts, ends, depths, window: int,
 
 def wig_window_bins(starts, ends, depths, window: int,
                     n_windows: int, target_len: int) -> np.ndarray:
-    """bam2wig window bins with the reference's off-by-one arithmetic
-    (bam2wig.c:130-175): inclusive window_end=(j+1)*W-1 clamped to
-    target_len; full windows add W' = we-ws+1 (an extra bp in the clamped
-    window); a boundary-crossing tail adds (we-ls) WITHOUT the +1."""
+    """bam2wig window bins, vectorized — equal to wig_window_bins_exact
+    (the bam2wig.c:130-175 port) on ascending non-overlapping intervals,
+    which is what the bedGraph sweep feeds it.
+
+    Decomposition of the C loop's quirky arithmetic: every window gets the
+    true depth*bp overlap against span [j*W, (j+1)*W), EXCEPT
+    (a) an interval that starts inside a window and spills past it counts
+        one bp less there (the `we-ls` branch uses the inclusive end);
+    (b) an interval entering window j from the left and ending exactly on
+        its inclusive last position (le == we(j)) takes the `le >= we`
+        FULL branch and counts one EXTRA bp there;
+    (c) the window containing target_len uses the inclusive span
+        [wc*W, target_len+1): quirks (a)/(b) apply against the clamped
+        boundary, so that window is recomputed directly;
+    (d) windows past that one receive (target_len - j*W + 1) * depth rows
+        from any interval crossing j*W — the loop keeps walking with the
+        clamped `we` (negative filler; normally beyond the returned range).
+    """
     W = window
-    bins = np.zeros(n_windows + 3, dtype=np.float64)
+    nb = n_windows + 3
+    bins = np.zeros(nb, dtype=np.float64)
     if len(starts) == 0:
         return bins[:n_windows]
-    ls, le, d = starts.astype(np.int64), ends.astype(np.int64), depths.astype(np.float64)
-
-    def we_of(w):
-        return np.minimum((w + 1) * W - 1, target_len)
-
+    ls = starts.astype(np.int64)
+    le = ends.astype(np.int64)
+    d = depths.astype(np.float64)
     fw = ls // W
-    we1 = we_of(fw)
-    single = le <= we1
-    # first window: ls >= ws branch: le<=we -> le-ls ; else we-ls (no +1)
-    c_first = np.where(single, le - ls, we1 - ls)
-    np.add.at(bins, np.clip(fw, 0, n_windows + 2), c_first * d)
-    # full windows after fw: w such that le >= we_of(w)
+    lw = (le - 1) // W
+    single = fw == lw
+    fwc = np.clip(fw, 0, nb - 1)
+    np.add.at(bins, fwc, np.where(single, le - ls, (fw + 1) * W - ls) * d)
     multi = ~single
-    if multi.any():
-        lsm, lem, dm, fwm = ls[multi], le[multi], d[multi], fw[multi]
-        # unclamped full: w in [fw+1, (le+1)//W - 1]
-        w_full_hi = (lem + 1) // W - 1
-        lo = fwm + 1
-        hi = np.minimum(w_full_hi, n_windows + 1)
-        has_full = hi >= lo
-        diff = np.zeros(n_windows + 4, dtype=np.float64)
-        np.add.at(diff, np.clip(lo[has_full], 0, n_windows + 3),
-                  W * dm[has_full])
-        np.add.at(diff, np.clip(hi[has_full] + 1, 0, n_windows + 3),
-                  -W * dm[has_full])
-        bins += np.cumsum(diff)[:n_windows + 3]
-        # clamped final window (we=target_len): full iff le >= target_len,
-        # contributing target_len - ws + 1 instead of W
-        wc = target_len // W  # first window whose unclamped we exceeds len
-        if wc * W + W - 1 > target_len:
-            clamped_full = (lem >= target_len) & (fwm < wc) & (wc <= n_windows + 1)
-            np.add.at(bins, np.full(int(clamped_full.sum()), wc),
-                      (target_len - wc * W + 1) * dm[clamped_full])
-            # the unclamped diff-array already added W for windows it
-            # believed full; subtract the over/under-count where w_full_hi
-            # covered wc
-            over = clamped_full & (w_full_hi >= wc)
-            np.add.at(bins, np.full(int(over.sum()), wc), -W * dm[over])
-        # partial tail window w_p = w_full_max+1 (or fw+1 when none full):
-        w_p = np.maximum(w_full_hi + 1, fwm + 1)
-        ws_p = w_p * W
-        tail = (lem >= ws_p) & (lem < we_of(w_p)) & (w_p <= n_windows + 1)
-        np.add.at(bins, np.clip(w_p[tail], 0, n_windows + 2),
-                  (lem[tail] - ws_p[tail]) * dm[tail])
+    np.add.at(bins, np.clip(lw[multi], 0, nb - 1),
+              (le[multi] - lw[multi] * W) * d[multi])
+    mid = multi & (lw > fw + 1)
+    diff = np.zeros(nb + 1, dtype=np.float64)
+    np.add.at(diff, np.clip(fw[mid] + 1, 0, nb), W * d[mid])
+    np.add.at(diff, np.clip(lw[mid], 0, nb), -W * d[mid])
+    bins += np.cumsum(diff)[:nb]
+    # quirk (a): starts-inside-and-spills intervals count one bp less
+    spill = le >= (fw + 1) * W
+    np.add.at(bins, fwc[spill], -d[spill])
+    # quirk (b): ends-on-inclusive-window-boundary intervals count one more
+    lt = le // W
+    bmask = (le % W == W - 1) & (ls < lt * W)
+    np.add.at(bins, np.clip(lt[bmask], 0, nb - 1), d[bmask])
+    # quirk (c): the clamped window recomputed directly
+    wc = target_len // W
+    if wc * W + W - 1 > target_len and 0 <= wc < n_windows:
+        ws = wc * W
+        m = (le >= ws) & (ls <= target_len)
+        lsm, lem, dm = ls[m], le[m], d[m]
+        ov = np.minimum(lem, target_len + 1) - np.maximum(lsm, ws)
+        corr = ((lsm < ws) & (lem == target_len)).astype(np.int64) \
+            - ((lsm >= ws) & (lem >= target_len + 1)).astype(np.int64)
+        bins[wc] = float(np.sum((ov + corr) * dm))
+    # quirk (d): clamped-filler rows for returned windows past wc
+    for j in range(max(wc + 1, 0), n_windows):
+        ws = j * W
+        m = (ls < ws) & (le >= ws)
+        bins[j] = float(np.sum((target_len - ws + 1) * d[m]))
     return bins[:n_windows]

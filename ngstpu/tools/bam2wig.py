@@ -19,7 +19,7 @@ import numpy as np
 
 from ..io.bam import FUNMAP, read_bam
 from ..io.stream import open_text_output, with_suffix
-from ..ops.bamops import merged_intervals, wig_window_bins_exact
+from ..ops.bamops import merged_intervals, wig_window_bins
 from ..utils.timing import StageTimer
 from .bam2depth import chrom_events
 
@@ -37,8 +37,8 @@ def process_bam(path: str, index1: int, outfile: str, window: int,
         n_windows = tlen // window + 1
         pos, delta = by_tid.get(j, (np.zeros(0, np.int32), np.zeros(0, np.int32)))
         starts, ends, depths = merged_intervals(pos, delta)
-        bins = wig_window_bins_exact(starts, ends, depths, window,
-                                     n_windows, tlen)
+        bins = wig_window_bins(starts, ends, depths, window,
+                               n_windows, tlen)
         wig_out.write(f"variableStep chrom={name} span={window}\n")
         ws = np.arange(n_windows, dtype=np.int64) * window
         nz = np.flatnonzero(bins)

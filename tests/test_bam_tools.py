@@ -160,3 +160,54 @@ def test_bai_region_decode_matches_full_scan(tmp_path):
     import os
     os.remove(bam + ".bai")
     assert read_bam_region(bam, 0, 0, 100) is None
+
+
+def test_wig_window_bins_vectorized_matches_exact_fuzz():
+    """Production wig binning (vectorized) vs the bam2wig.c loop port, over
+    random windows / target lengths / clamped-final-window cases, including
+    intervals ending exactly on window and target boundaries."""
+    import numpy as np
+
+    from ngstpu.ops.bamops import wig_window_bins, wig_window_bins_exact
+
+    rng = np.random.default_rng(77)
+    for _ in range(300):
+        W = int(rng.choice([1, 2, 3, 5, 20, 100, 20000]))
+        tlen = int(rng.integers(1, 40) * W + rng.integers(0, W))
+        n_windows = int(rng.choice([tlen // W + 1, max(tlen // W, 1),
+                                    tlen // W + 3]))
+        k = int(rng.integers(0, 50))
+        hi = tlen + 3 * W
+        if k:
+            edges = np.sort(rng.choice(np.arange(0, hi),
+                                       size=min(2 * k, hi), replace=False))
+            if len(edges) % 2:
+                edges = edges[:-1]
+            starts, ends = edges[0::2], edges[1::2]
+            ok = ends > starts
+            starts, ends = starts[ok].astype(np.int64), ends[ok].astype(np.int64)
+        else:
+            starts = ends = np.zeros(0, np.int64)
+        depths = rng.integers(1, 30, len(starts)).astype(np.float64)
+        a = wig_window_bins(starts, ends, depths, W, n_windows, tlen)
+        b = wig_window_bins_exact(starts, ends, depths, W, n_windows, tlen)
+        assert np.allclose(a, b), (W, tlen, n_windows)
+
+
+def test_wig_window_bins_vectorized_speed():
+    """VERDICT round-1 done-criterion: 100k intervals bin in well under
+    50ms (the loop port took seconds at this scale)."""
+    import time
+
+    import numpy as np
+
+    from ngstpu.ops.bamops import wig_window_bins
+
+    n = 100_000
+    starts = np.sort(np.random.default_rng(0).integers(0, 2_000_000, n))
+    ends = starts + 80
+    depths = np.ones(n)
+    wig_window_bins(starts, ends, depths, 20000, 101, 2_000_000)  # warm
+    t0 = time.monotonic()
+    wig_window_bins(starts, ends, depths, 20000, 101, 2_000_000)
+    assert time.monotonic() - t0 < 0.05
