@@ -196,6 +196,55 @@ def read_bam(path: str) -> tuple[BamHeader, BamColumns]:
     return header, scan_records(body)
 
 
+class BamStream:
+    """Chunked BAM decode with bounded RSS: BGZF batches inflate in
+    parallel (io.bgzf.iter_inflated) and each batch scans to columnar
+    arrays; a record cut by a batch edge carries into the next batch.
+    Replaces the whole-file inflate for the streaming tools so a BAM
+    larger than free RAM processes in O(chunk) memory — the role of
+    samtools' samread loop (reference sam.h:59-81).
+
+    Usage: s = BamStream(path); s.header; for cols in s: ...
+    Each yielded BamColumns is self-contained (rec_offset indexes its own
+    `body` slice).
+    """
+
+    def __init__(self, path: str, chunk_bytes: int = 32 << 20):
+        from .bgzf import iter_inflated
+
+        self._gen = iter_inflated(path, chunk_bytes)
+        buf = b""
+        while True:
+            if len(buf) >= 4 and buf[:4] != BAM_MAGIC:
+                raise ValueError("not a BAM file")
+            try:
+                self.header, body_off = parse_header(buf)
+                break
+            except (ValueError, IndexError, struct.error):
+                nxt = next(self._gen, None)
+                if nxt is None:
+                    raise ValueError("truncated BAM header")
+                buf += nxt
+        self._carry = buf[body_off:]
+
+    def __iter__(self):
+        carry = self._carry
+        self._carry = b""
+        for data in self._gen:
+            body_bytes = carry + data if carry else data
+            body = np.frombuffer(body_bytes, dtype=np.uint8)
+            cols = scan_records(body, strict=False)
+            if cols.n:
+                consumed = int(cols.rec_offset[-1] + cols.rec_len[-1])
+                carry = body_bytes[consumed:]
+                yield cols
+            else:
+                carry = body_bytes
+        if carry:
+            body = np.frombuffer(carry, dtype=np.uint8)
+            yield scan_records(body, strict=True)
+
+
 def read_bam_region(path: str, ref_name_or_tid, beg: int, end: int
                     ) -> tuple[BamHeader, BamColumns] | None:
     """BAI-driven region decode: inflate ONLY the BGZF blocks whose virtual

@@ -23,8 +23,13 @@ BGZF_EOF = bytes.fromhex(
 _HDR = struct.Struct("<4BI2B2H")
 
 
-def _scan_blocks(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Walk BGZF headers; returns (starts, comp_lens, isize) int64 arrays."""
+def _scan_blocks_ex(data: bytes, partial: bool = False
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Walk BGZF headers; returns (starts, comp_lens, isize, consumed).
+
+    partial=True stops cleanly at a block the buffer truncates (streaming
+    readers carry the tail into the next read); corrupt structure (bad
+    magic, missing BSIZE) raises in both modes."""
     starts, lens, isizes = [], [], []
     o = 0
     n = len(data)
@@ -33,6 +38,8 @@ def _scan_blocks(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
             raise ValueError("bad BGZF magic")
         xlen = struct.unpack_from("<H", data, o + 10)[0]
         if o + 12 + xlen > n:
+            if partial:
+                break
             raise ValueError("truncated BGZF header")
         # find BC subfield
         xo = o + 12
@@ -46,6 +53,8 @@ def _scan_blocks(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         if bsize is None:
             raise ValueError("BGZF block without BSIZE")
         if o + bsize > n:
+            if partial:
+                break
             raise ValueError("truncated BGZF block")
         isize = struct.unpack_from("<I", data, o + bsize - 4)[0]
         starts.append(o)
@@ -53,7 +62,59 @@ def _scan_blocks(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         isizes.append(isize)
         o += bsize
     return (np.array(starts, dtype=np.int64), np.array(lens, dtype=np.int64),
-            np.array(isizes, dtype=np.int64))
+            np.array(isizes, dtype=np.int64), o)
+
+
+def _scan_blocks(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    starts, lens, isizes, _ = _scan_blocks_ex(data)
+    return starts, lens, isizes
+
+
+def _inflate_blocks(data: bytes, starts: np.ndarray, lens: np.ndarray,
+                    isizes: np.ndarray) -> bytes:
+    """Inflate a scanned block set (native parallel; zlib fallback)."""
+    lib = get_lib()
+    if lib is not None and len(starts):
+        total = int(isizes.sum())
+        out = np.empty(total, dtype=np.uint8)
+        out_offsets = np.zeros(len(starts), dtype=np.int64)
+        np.cumsum(isizes[:-1], out=out_offsets[1:])
+        out_sizes = np.empty(len(starts), dtype=np.int64)
+        arr = np.frombuffer(data, dtype=np.uint8)
+        rc = lib.ngs_gzip_decompress_blocks(
+            arr, np.ascontiguousarray(starts), np.ascontiguousarray(lens),
+            len(starts), out, out_offsets, np.ascontiguousarray(isizes),
+            out_sizes, 0)
+        if rc == 0 and (out_sizes == isizes).all():
+            return out.tobytes()
+    chunks = []
+    for s, ln in zip(starts.tolist(), lens.tolist()):
+        chunks.append(gzip.decompress(data[s:s + ln]))
+    return b"".join(chunks)
+
+
+def iter_inflated(path: str, chunk_bytes: int = 32 << 20):
+    """Stream a BGZF file as inflated byte batches with bounded memory —
+    the role of samtools' incremental bgzf_read (reference klib
+    bgzf.h:84-112), but block-parallel per batch. A 100GB BAM never holds
+    more than ~2x chunk_bytes of compressed+inflated data at once."""
+    max_block = (1 << 16) + 18
+    with open(path, "rb") as f:
+        tail = b""
+        while True:
+            data = f.read(chunk_bytes)
+            if not data:
+                break
+            buf = tail + data if tail else data
+            starts, lens, isizes, consumed = _scan_blocks_ex(buf, partial=True)
+            tail = buf[consumed:]
+            if len(starts) == 0:
+                if len(tail) > max_block:
+                    raise ValueError("truncated BGZF block")
+                continue
+            yield _inflate_blocks(buf, starts, lens, isizes)
+        if tail:
+            raise ValueError("truncated BGZF block")
 
 
 def decompress_bgzf(data: bytes) -> bytes:

@@ -51,6 +51,74 @@ def cigar_m_events(cols, rec_mask: np.ndarray):
     return tids.astype(np.int32), starts.astype(np.int32), ends.astype(np.int32)
 
 
+def stream_chrom_events(path: str, flag_mask: int,
+                        chunk_bytes: int = 32 << 20):
+    """Bounded-memory per-chromosome pileup events from a BAM.
+
+    Returns (header, generator of (pos, delta) int32 array pairs, one per
+    reference in header order). The BAM decodes in O(chunk) batches
+    (io.bam.BamStream); records failing `flag & flag_mask == 0` or with
+    tid < 0 are skipped (the bam2depth/bam2wig filters, reference
+    bam2depth.c:90 / bam2wig.c:88). Coordinate-grouped inputs release each
+    chromosome's events as soon as the stream moves past its tid — the
+    per-chromosome working set of the reference's bam_fetch loop
+    (bam2depth.c:325-339) without requiring an index; inputs with
+    interleaved tids fall back to accumulating until EOF (same outputs).
+    """
+    from ..io.bam import BamStream
+
+    stream = BamStream(path, chunk_bytes)
+    header = stream.header
+    n_refs = header.n_refs
+
+    def gen():
+        pending: dict[int, list] = {}
+        emitted = 0  # next tid to yield
+        monotone = True
+        last_tid = -1
+        empty = (np.zeros(0, np.int32), np.zeros(0, np.int32))
+
+        def flush(t):
+            pieces = pending.pop(t, None)
+            if not pieces:
+                return empty
+            pos = np.concatenate([p for p, _ in pieces])
+            delta = np.concatenate([d for _, d in pieces])
+            return pos, delta
+
+        for cols in stream:
+            mask = ((cols.flag & flag_mask) == 0) & (cols.tid >= 0)
+            tids, starts, ends = cigar_m_events(cols, mask)
+            if len(tids):
+                order = np.argsort(tids, kind="stable")
+                st = tids[order]
+                sp = np.concatenate([starts[order], ends[order]])
+                sd = np.concatenate([np.ones(len(st), np.int32),
+                                     -np.ones(len(st), np.int32)])
+                bounds = np.searchsorted(st, np.arange(st[0], st[-1] + 2))
+                for i, t in enumerate(range(int(st[0]), int(st[-1]) + 1)):
+                    lo, hi = int(bounds[i]), int(bounds[i + 1])
+                    if lo == hi:
+                        continue
+                    idx = np.concatenate([np.arange(lo, hi),
+                                          len(st) + np.arange(lo, hi)])
+                    pending.setdefault(t, []).append((sp[idx], sd[idx]))
+                bt = cols.tid[mask]
+                if monotone and len(bt):
+                    if bt[0] < last_tid or (np.diff(bt) < 0).any():
+                        monotone = False
+                    else:
+                        last_tid = int(bt[-1])
+            if monotone:
+                while emitted < last_tid and emitted < n_refs:
+                    yield flush(emitted)
+                    emitted += 1
+        for t in range(emitted, n_refs):
+            yield flush(t)
+
+    return header, gen()
+
+
 def ref_span(cols) -> np.ndarray:
     """Per-record reference span (bam_calend - pos): sum of M/D/N/=/X op
     lengths (samtools bam.h bam_calend semantics)."""

@@ -25,35 +25,17 @@ import sys
 
 import numpy as np
 
-from ..io.bam import DEF_MASK, read_bam
+from ..io.bam import DEF_MASK
 from ..io.native import format_int3_rows
 from ..io.stream import open_text_output, with_suffix
-from ..ops.bamops import cigar_m_events, depth_window_bins, merged_intervals
+from ..ops.bamops import (depth_window_bins, merged_intervals,
+                          stream_chrom_events)
 from ..utils.timing import StageTimer
-
-
-def chrom_events(cols, mask):
-    """Events grouped by tid: returns dict tid -> (pos, delta) arrays."""
-    tids, starts, ends = cigar_m_events(cols, mask)
-    pos = np.concatenate([starts, ends])
-    delta = np.concatenate([np.ones(len(starts), np.int32),
-                            -np.ones(len(ends), np.int32)])
-    tid2 = np.concatenate([tids, tids])
-    order = np.argsort(tid2, kind="stable")
-    tid_sorted = tid2[order]
-    pos, delta = pos[order], delta[order]
-    out = {}
-    uniq = np.unique(tid_sorted)
-    for t in uniq:
-        lo = np.searchsorted(tid_sorted, t)
-        hi = np.searchsorted(tid_sorted, t, side="right")
-        out[int(t)] = (pos[lo:hi], delta[lo:hi])
-    return out
 
 
 def process_bam(path: str, index1: int, outfile: str, window: int,
                 wig: bool, timer: StageTimer) -> None:
-    header, cols = read_bam(path)
+    header, events = stream_chrom_events(path, DEF_MASK)
     bedgraph = open_text_output(
         with_suffix(os.path.basename(path), f".{index1}.bedGraph"))
     depth_out = open_text_output(with_suffix(outfile, f".{index1}.depth"))
@@ -63,12 +45,9 @@ def process_bam(path: str, index1: int, outfile: str, window: int,
         chr_out = open_text_output(
             with_suffix(outfile, f".{index1}.chromSize.txt"))
 
-    mask = ((cols.flag & DEF_MASK) == 0) & (cols.tid >= 0)
-    by_tid = chrom_events(cols, mask)
-
-    for j, (name, tlen) in enumerate(zip(header.ref_names, header.ref_lens)):
+    for (name, tlen), (pos, delta) in zip(
+            zip(header.ref_names, header.ref_lens), events):
         n_windows = tlen // window + 1
-        pos, delta = by_tid.get(j, (np.zeros(0, np.int32), np.zeros(0, np.int32)))
         starts, ends, depths = merged_intervals(pos, delta)
         if len(starts):
             bedgraph.write(format_int3_rows(

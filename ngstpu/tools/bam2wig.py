@@ -17,25 +17,21 @@ import sys
 
 import numpy as np
 
-from ..io.bam import FUNMAP, read_bam
+from ..io.bam import FUNMAP
 from ..io.stream import open_text_output, with_suffix
-from ..ops.bamops import merged_intervals, wig_window_bins
+from ..ops.bamops import merged_intervals, stream_chrom_events, wig_window_bins
 from ..utils.timing import StageTimer
-from .bam2depth import chrom_events
 
 
 def process_bam(path: str, index1: int, outfile: str, window: int,
                 timer: StageTimer) -> None:
-    header, cols = read_bam(path)
+    header, events = stream_chrom_events(path, FUNMAP)
     wig_out = open_text_output(with_suffix(outfile, f".{index1}.wig"))
     chr_out = open_text_output(with_suffix(outfile, f".{index1}.chromSize.txt"))
 
-    mask = ((cols.flag & FUNMAP) == 0) & (cols.tid >= 0)
-    by_tid = chrom_events(cols, mask)
-
-    for j, (name, tlen) in enumerate(zip(header.ref_names, header.ref_lens)):
+    for (name, tlen), (pos, delta) in zip(
+            zip(header.ref_names, header.ref_lens), events):
         n_windows = tlen // window + 1
-        pos, delta = by_tid.get(j, (np.zeros(0, np.int32), np.zeros(0, np.int32)))
         starts, ends, depths = merged_intervals(pos, delta)
         bins = wig_window_bins(starts, ends, depths, window,
                                n_windows, tlen)

@@ -25,40 +25,57 @@ import sys
 
 import numpy as np
 
-from ..io.bam import FUNMAP, read_bam
+from ..io.bam import FUNMAP
 from ..utils.png import Canvas, write_png
 from ..utils.timing import StageTimer
 
 
-def accumulate(header, cols, window: int, region: str | None = None):
-    """Returns per-chrom dict: tid -> (bins u32, gc_sums i64, len_sums i64)."""
-    mask = (cols.tid >= 0) & ((cols.flag & FUNMAP) == 0)
+def accumulate(header, batches, window: int, region: str | None = None):
+    """Per-chrom window sums over a stream of columnar batches (bounded
+    memory: only the per-window arrays persist across batches).
+    Returns (dict tid -> (bins u32, gc_sums i64, len_sums i64), total)."""
+    reg = None
     if region:
-        from ..ops.bamops import parse_region, region_mask
+        from ..ops.bamops import parse_region
 
         ref, beg, end = parse_region(header, region)
         if ref < 0:
             sys.stderr.write(f"bam2bed: Invalid region {region}\n")
             raise SystemExit(1)
         sys.stdout.write(f"{header.ref_names[ref]}\t{beg}\t{end}\n")
-        mask = mask & region_mask(cols, ref, beg, end)
-    tid = cols.tid[mask]
-    pos = cols.pos[mask]
-    gc = cols.gc[mask]
-    lq = cols.l_qseq[mask]
-    win = (pos.astype(np.int64) // window).astype(np.uint16).astype(np.int64)
+        reg = (ref, beg, end)
     out = {}
-    for j in np.unique(tid):
-        sel = tid == j
-        n_windows = header.ref_lens[j] // window + 1
-        nbins = max(n_windows, int(win[sel].max()) + 1 if sel.any() else 1)
-        bins = np.bincount(win[sel], minlength=nbins)[:n_windows]
-        gcs = np.bincount(win[sel], weights=gc[sel].astype(np.float64),
-                          minlength=nbins)[:n_windows].astype(np.int64)
-        lens = np.bincount(win[sel], weights=lq[sel].astype(np.float64),
-                           minlength=nbins)[:n_windows].astype(np.int64)
-        out[int(j)] = (bins.astype(np.uint32), gcs, lens, mask.sum())
-    return out, int(mask.sum())
+    total = 0
+    for cols in batches:
+        mask = (cols.tid >= 0) & ((cols.flag & FUNMAP) == 0)
+        if reg is not None:
+            from ..ops.bamops import region_mask
+
+            mask = mask & region_mask(cols, *reg)
+        total += int(mask.sum())
+        tid = cols.tid[mask]
+        pos = cols.pos[mask]
+        gc = cols.gc[mask]
+        lq = cols.l_qseq[mask]
+        win = (pos.astype(np.int64) // window).astype(np.uint16) \
+            .astype(np.int64)
+        for j in np.unique(tid):
+            sel = tid == j
+            n_windows = header.ref_lens[j] // window + 1
+            nbins = max(n_windows, int(win[sel].max()) + 1)
+            bins = np.bincount(win[sel], minlength=nbins)[:n_windows]
+            gcs = np.bincount(win[sel], weights=gc[sel].astype(np.float64),
+                              minlength=nbins)[:n_windows].astype(np.int64)
+            lens = np.bincount(win[sel], weights=lq[sel].astype(np.float64),
+                               minlength=nbins)[:n_windows].astype(np.int64)
+            prev = out.get(int(j))
+            if prev is None:
+                out[int(j)] = [bins.astype(np.uint32), gcs, lens]
+            else:
+                prev[0] += bins.astype(np.uint32)
+                prev[1] += gcs
+                prev[2] += lens
+    return out, total
 
 
 def f32_seq_sum(arr: np.ndarray) -> np.float32:
@@ -69,7 +86,7 @@ def f32_seq_sum(arr: np.ndarray) -> np.float32:
 
 def process(path: str, window: int, outfile_rows: list, header_state: dict,
             timer: StageTimer, region: str | None = None) -> None:
-    header = cols = None
+    header = batches = None
     if region:
         # BAI-driven partial decode: inflate only blocks overlapping the
         # region (the reference's indexed fetch, bam_sliding_count.c:394-409)
@@ -88,10 +105,13 @@ def process(path: str, window: int, outfile_rows: list, header_state: dict,
         except ValueError:  # unknown ref name: full scan reports it
             got = None
         if got is not None:
-            header, cols = got
+            header, batches = got[0], [got[1]]
     if header is None:
-        header, cols = read_bam(path)
-    by_tid, total = accumulate(header, cols, window, region)
+        from ..io.bam import BamStream
+
+        stream = BamStream(path)
+        header, batches = stream.header, stream
+    by_tid, total = accumulate(header, batches, window, region)
     sys.stderr.write(f"Done load bam file {path} at {timer.elapsed():.3f} s\n")
 
     max_target_window = max(header.ref_lens) // window + 1 if header.ref_lens else 0
@@ -101,7 +121,7 @@ def process(path: str, window: int, outfile_rows: list, header_state: dict,
     for j, (name, tlen) in enumerate(zip(header.ref_names, header.ref_lens)):
         if j not in by_tid:
             continue
-        bins, gcs, lens, _ = by_tid[j]
+        bins, gcs, lens = by_tid[j]
         sum_count = int(bins.sum())
         sum_base = int(lens.sum())
         sum_gc_f = f32_seq_sum(gcs)

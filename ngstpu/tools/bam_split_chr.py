@@ -15,8 +15,53 @@ import sys
 
 import numpy as np
 
-from ..io.bam import read_bam, write_bam
+from ..io.bam import BamStream, write_bam
 from ..utils.timing import StageTimer
+
+
+def _split_stream(path: str, prefix: str, level: int,
+                  timer: StageTimer) -> None:
+    """Stream the BAM in bounded batches; each chromosome's BAM is written
+    (and its buffered record bytes released) as soon as a coordinate-
+    grouped stream moves past its tid. Interleaved-tid inputs accumulate
+    until EOF — identical outputs."""
+    stream = BamStream(path)
+    header = stream.header
+    pending: dict[int, list[bytes]] = {}
+    counts: dict[int, int] = {}
+    flushed = 0
+    monotone = True
+    last_tid = -1
+
+    def flush(j: int) -> None:
+        name, tlen = header.ref_names[j], header.ref_lens[j]
+        rec_bytes = b"".join(pending.pop(j, []))
+        write_bam(f"{prefix}_{name}.bam", header, rec_bytes, level=level)
+        sys.stderr.write(
+            f"chr: {name}\tchr_len: {tlen}\treads_count: {counts.get(j, 0)} "
+            f"at {timer.elapsed():.3f} s\n")
+
+    for cols in stream:
+        body = cols.body
+        mapped = cols.tid[cols.tid >= 0]
+        for j in np.unique(mapped):
+            sel = np.flatnonzero(cols.tid == j)
+            pending.setdefault(int(j), []).append(b"".join(
+                body[int(cols.rec_offset[k]):
+                     int(cols.rec_offset[k]) + int(cols.rec_len[k])].tobytes()
+                for k in sel))
+            counts[int(j)] = counts.get(int(j), 0) + len(sel)
+        if monotone and len(mapped):
+            if mapped[0] < last_tid or (np.diff(mapped) < 0).any():
+                monotone = False
+            else:
+                last_tid = int(mapped[-1])
+        if monotone:
+            while flushed < last_tid and flushed < header.n_refs:
+                flush(flushed)
+                flushed += 1
+    for j in range(flushed, header.n_refs):
+        flush(j)
 
 
 def main(argv: list[str]) -> int:
@@ -44,20 +89,7 @@ def main(argv: list[str]) -> int:
         return 1
 
     for path in files:
-        header, cols = read_bam(path)
-        prefix = outfile if outfile else path
-        body = cols.body
-        for j, (name, tlen) in enumerate(zip(header.ref_names,
-                                             header.ref_lens)):
-            sel = np.flatnonzero(cols.tid == j)
-            chunks = [body[int(cols.rec_offset[k]):
-                           int(cols.rec_offset[k]) + int(cols.rec_len[k])]
-                      for k in sel]
-            rec_bytes = b"".join(c.tobytes() for c in chunks)
-            write_bam(f"{prefix}_{name}.bam", header, rec_bytes, level=level)
-            sys.stderr.write(
-                f"chr: {name}\tchr_len: {tlen}\treads_count: {len(sel)} "
-                f"at {timer.elapsed():.3f} s\n")
+        _split_stream(path, outfile if outfile else path, level, timer)
         sys.stderr.write(
             f"splited {path} into each chromosome at {timer.elapsed():.3f} s\n")
     return 0
