@@ -41,15 +41,17 @@ def _hash_rows(words: jax.Array, lens: jax.Array) -> jax.Array:
     return h
 
 
-def exchange_by_hash(mesh: Mesh, pad_factor: float = 2.0):
-    """Build a jitted fn: (words [B,W], lens [B], sumq [B], idx [B],
-    valid [B]) -> (r_words, r_lens, r_sumq, r_idx, r_valid) with rows
-    re-sharded by key hash. `idx` carries each row's GLOBAL original index
-    through the shuffle so representative selection (max-sumQ, earliest
-    original index) stays bit-identical to the single-chip path.
+def exchange_dedup(mesh: Mesh, pad_factor: float = 2.0):
+    """Fused one-program distributed dedup: hash-bucket all_to_all exchange
+    + per-shard stable LSD dedup sort, all inside ONE shard_map — shards
+    dedup concurrently on device, and the host only ever sees the sorted
+    result columns (no full-matrix round-trip between exchange and dedup).
 
-    Shapes stay static: each shard sends exactly `cap` rows per peer
-    (invalid filler rows carry valid=False).
+    Returns a jitted fn (words, lens, sumq, gidx, valid) ->
+    (s_words, s_lens, s_gidx, is_head, s_valid), each shard's slice sorted
+    by (key words, len, -sumq, global idx) with invalid filler rows last —
+    so each group's first row is the representative the single-chip path
+    keeps (max sumQ, earliest original index; gzfastq_uniq.c:226).
     """
     n_dp = mesh.devices.size
 
@@ -58,16 +60,13 @@ def exchange_by_hash(mesh: Mesh, pad_factor: float = 2.0):
         cap = int(pad_factor * b / n_dp) + 8
         h = _hash_rows(words, lens)
         bucket = (h % n_dp).astype(jnp.int32)
-        bucket = jnp.where(valid, bucket, n_dp)  # invalid -> no bucket
+        bucket = jnp.where(valid, bucket, n_dp)
 
-        # stable sort rows by bucket so each peer's rows are contiguous
         idx = jax.lax.broadcasted_iota(jnp.int32, (b,), 0)
         _, order = jax.lax.sort((bucket, idx), num_keys=1, is_stable=True)
         s_bucket = jnp.take(bucket, order)
-        # position within bucket
         pos = idx - jnp.searchsorted(s_bucket, s_bucket, side="left")
         ok = (pos < cap) & (s_bucket < n_dp)
-        # send buffer [n_dp, cap, ...]
         dest = jnp.where(ok, s_bucket * cap + pos, n_dp * cap)
 
         def scatter(x, fill):
@@ -75,24 +74,43 @@ def exchange_by_hash(mesh: Mesh, pad_factor: float = 2.0):
             flat = flat.at[dest].set(jnp.take(x, order, axis=0))
             return flat[:-1].reshape((n_dp, cap) + x.shape[1:])
 
-        sw = scatter(words, 0)
-        sl = scatter(lens, 0)
-        sq = scatter(sumq, 0)
-        si = scatter(gidx, 0)
-        sv = scatter(valid.astype(jnp.int32), 0)
-
-        rw = jax.lax.all_to_all(sw, "dp", 0, 0, tiled=False)
-        rl = jax.lax.all_to_all(sl, "dp", 0, 0, tiled=False)
-        rq = jax.lax.all_to_all(sq, "dp", 0, 0, tiled=False)
-        ri = jax.lax.all_to_all(si, "dp", 0, 0, tiled=False)
-        rv = jax.lax.all_to_all(sv, "dp", 0, 0, tiled=False)
+        rw = jax.lax.all_to_all(scatter(words, 0), "dp", 0, 0, tiled=False)
+        rl = jax.lax.all_to_all(scatter(lens, 0), "dp", 0, 0, tiled=False)
+        rq = jax.lax.all_to_all(scatter(sumq, 0), "dp", 0, 0, tiled=False)
+        ri = jax.lax.all_to_all(scatter(gidx, 0), "dp", 0, 0, tiled=False)
+        rv = jax.lax.all_to_all(scatter(valid.astype(jnp.int32), 0),
+                                "dp", 0, 0, tiled=False)
         m = n_dp * cap
-        return (rw.reshape((m,) + words.shape[1:]), rl.reshape(m),
-                rq.reshape(m), ri.reshape(m), rv.reshape(m) == 1)
+        rw = rw.reshape((m, W))
+        rl = rl.reshape(m)
+        rq = rq.reshape(m)
+        ri = ri.reshape(m)
+        rv = rv.reshape(m) == 1
+
+        # local dedup sort: global idx as the final key makes ties resolve
+        # exactly like the single-chip stable sort
+        from ..ops.sortengine import _lsd_perm, _order_u32
+
+        ops = [(~rv).astype(jnp.uint32)]
+        ops.extend(rw[:, w] for w in range(W))
+        ops.append(_order_u32(rl))
+        ops.append(_order_u32(-rq.astype(jnp.int32)))
+        ops.append(_order_u32(ri))
+        perm = _lsd_perm(ops)
+        sw = jnp.take(rw, perm, axis=0)
+        sl = jnp.take(rl, perm)
+        si = jnp.take(ri, perm)
+        sv = jnp.take(rv, perm)
+        same = jnp.all(sw[1:] == sw[:-1], axis=1) & (sl[1:] == sl[:-1]) \
+            & sv[1:] & sv[:-1]
+        is_head = jnp.concatenate([jnp.ones((1,), bool), ~same]) & sv
+        return sw, sl, si, is_head, sv
 
     fn = shard_map(local, mesh=mesh,
-                   in_specs=(P("dp", None), P("dp"), P("dp"), P("dp"), P("dp")),
-                   out_specs=(P("dp", None), P("dp"), P("dp"), P("dp"), P("dp")))
+                   in_specs=(P("dp", None), P("dp"), P("dp"), P("dp"),
+                             P("dp")),
+                   out_specs=(P("dp", None), P("dp"), P("dp"), P("dp"),
+                              P("dp")))
     return jax.jit(fn)
 
 
@@ -219,10 +237,12 @@ def distributed_dedup(mesh: Mesh, words: np.ndarray, lens: np.ndarray,
     `rep` holds each group's representative as an ORIGINAL row index —
     the first occurrence achieving the maximum quality sum, bit-identical
     to the single-chip dedup_groups result (the global index rides the
-    all_to_all and received rows are re-ordered by it before local dedup).
-    """
-    from ..ops.sortengine import dedup_groups
+    all_to_all as the stable sort's final key).
 
+    Exchange and per-shard dedup run fused in ONE shard_map program
+    (exchange_dedup): shards dedup concurrently on device and the host
+    only receives the sorted result columns.
+    """
     n_dp = mesh.devices.size
     B = words.shape[0]
     pad = (-B) % n_dp
@@ -233,41 +253,35 @@ def distributed_dedup(mesh: Mesh, words: np.ndarray, lens: np.ndarray,
     valid = np.arange(len(lens)) < B
     gidx = np.arange(len(lens), dtype=np.int32)
 
-    ex = exchange_by_hash(mesh, pad_factor)
+    fused = exchange_dedup(mesh, pad_factor)
     with mesh:
         args = [jax.device_put(a, NamedSharding(mesh, P("dp", *([None] * (a.ndim - 1)))))
                 for a in (words, lens.astype(np.int32),
                           sumq.astype(np.uint32), gidx, valid)]
-        rw, rl, rq, ri, rv = ex(*args)
-        rw, rl, rq, ri, rv = (np.asarray(rw), np.asarray(rl), np.asarray(rq),
-                              np.asarray(ri), np.asarray(rv))
+        sw, sl, si, ih, sv = fused(*args)
+        sw, sl, si, ih, sv = (np.asarray(sw), np.asarray(sl), np.asarray(si),
+                              np.asarray(ih), np.asarray(sv))
 
     # received row count sanity (overflow detection)
-    if int(rv.sum()) != B:
+    if int(sv.sum()) != B:
         raise RuntimeError(
-            f"bucket overflow: received {int(rv.sum())} of {B} rows — "
+            f"bucket overflow: received {int(sv.sum())} of {B} rows — "
             f"increase pad_factor")
 
-    # local dedup per shard slice
-    per = rw.shape[0] // n_dp
+    # group math per shard slice (valid rows sort first within a shard)
+    per = sw.shape[0] // n_dp
     out_keys, out_counts, out_lens, out_rep = [], [], [], []
     for d in range(n_dp):
-        sl = slice(d * per, (d + 1) * per)
-        v = rv[sl]
-        # valid rows first, in ORIGINAL global order: the stable sort's
-        # index tiebreak then matches the single-chip path exactly
-        order = np.lexsort((ri[sl], ~v))
-        wd, ld, qd, gd = rw[sl][order], rl[sl][order], rq[sl][order], ri[sl][order]
-        nv = int(v.sum())
+        sl_ = slice(d * per, (d + 1) * per)
+        nv = int(sv[sl_].sum())
         if nv == 0:
             continue
-        g = dedup_groups(jnp.asarray(wd), jnp.asarray(ld), jnp.asarray(qd),
-                         nv, length_first=False)
-        heads_sorted = g["perm"][g["head_pos"]]
-        out_keys.append(wd[heads_sorted])
-        out_lens.append(ld[heads_sorted])
-        out_counts.append(g["counts"])
-        out_rep.append(gd[heads_sorted])
+        head_pos = np.flatnonzero(ih[sl_][:nv])
+        counts = np.diff(np.append(head_pos, nv))
+        out_keys.append(sw[sl_][head_pos])
+        out_lens.append(sl[sl_][head_pos])
+        out_counts.append(counts)
+        out_rep.append(si[sl_][head_pos])
     if not out_keys:
         return (np.zeros((0, words.shape[1]), words.dtype),
                 np.zeros(0, np.int32), np.zeros(0, np.int64),
