@@ -31,3 +31,71 @@ def test_sw_perfect_match_and_gap():
     s2 = np.asarray(sw_score_batch(q2, np.array([7], np.int32),
                                    t, np.array([8], np.int32)))
     assert s2[0] == max(7 - 7, 4)  # best local run without paying the gap: "ACGT"=4... or gapped 7-7=0
+
+
+def test_sw_align_batch_full_kswr_fields():
+    """score/te/qe + XSUBO second-best vs the scalar ksw-semantics oracle
+    on 200+ random pairs (VERDICT round-1 item 6)."""
+    from ngstpu.ops.align import (ksw_align_scalar, kswr_second_best,
+                                  sw_align_batch)
+
+    rng = np.random.default_rng(3)
+    B, Lq, Lt = 220, 28, 36
+    qlens = rng.integers(1, Lq + 1, B).astype(np.int32)
+    tlens = rng.integers(1, Lt + 1, B).astype(np.int32)
+    q = rng.choice(list(b"ACGT"), (B, Lq)).astype(np.uint8)
+    t = rng.choice(list(b"ACGT"), (B, Lt)).astype(np.uint8)
+    # plant shared substrings so real alignments (and 2nd-bests) exist
+    for i in range(0, B, 2):
+        L = int(min(qlens[i], tlens[i], 12))
+        t[i, :L] = q[i, :L]
+        if tlens[i] >= 2 * L + 4:
+            t[i, L + 4:2 * L + 4] = q[i, :L]
+    q[np.arange(Lq)[None, :] >= qlens[:, None]] = 0
+    t[np.arange(Lt)[None, :] >= tlens[:, None]] = 0
+
+    res = sw_align_batch(q, qlens, t, tlens)
+    score = np.asarray(res["score"])
+    te = np.asarray(res["te"])
+    qe = np.asarray(res["qe"])
+    row_max = np.asarray(res["row_max"])
+    minsc = 2
+    s2, te2 = kswr_second_best(row_max, score, te, minsc, 1)
+    for i in range(B):
+        ref = ksw_align_scalar(bytes(q[i, :qlens[i]]), bytes(t[i, :tlens[i]]),
+                               minsc=minsc)
+        assert score[i] == ref["score"], i
+        assert te[i] == ref["te"], i
+        assert qe[i] == ref["qe"], i
+        assert (row_max[i, :tlens[i]] == ref["row_max"]).all(), i
+        assert s2[i] == ref["score2"] and te2[i] == ref["te2"], i
+
+
+def test_sw_extend_batch_matches_ksw_extend_port():
+    """Banded extension (ksw_extend semantics) vs the scalar port on 220
+    random pairs across band widths and anchor scores."""
+    from ngstpu.ops.align import ksw_extend_scalar, sw_extend_batch
+
+    rng = np.random.default_rng(5)
+    B, Lq, Lt = 220, 30, 34
+    qlens = rng.integers(1, Lq + 1, B).astype(np.int32)
+    tlens = rng.integers(1, Lt + 1, B).astype(np.int32)
+    q = rng.choice(list(b"ACGT"), (B, Lq)).astype(np.uint8)
+    t = rng.choice(list(b"ACGT"), (B, Lt)).astype(np.uint8)
+    for i in range(0, B, 2):  # seed-extension-shaped pairs
+        L = int(min(qlens[i], tlens[i]))
+        t[i, :L] = q[i, :L]
+        if L > 6:
+            t[i, L // 2] = (t[i, L // 2] + 1) % 4 + 65  # one mismatch
+    q[np.arange(Lq)[None, :] >= qlens[:, None]] = 0
+    t[np.arange(Lt)[None, :] >= tlens[:, None]] = 0
+    h0 = rng.integers(0, 25, B).astype(np.int32)
+
+    for w in (3, 100):
+        sc, qle, tle = sw_extend_batch(q, qlens, t, tlens, h0, w=w)
+        sc, qle, tle = np.asarray(sc), np.asarray(qle), np.asarray(tle)
+        for i in range(B):
+            ref = ksw_extend_scalar(bytes(q[i, :qlens[i]]),
+                                    bytes(t[i, :tlens[i]]), int(h0[i]), w=w)
+            assert (sc[i], qle[i], tle[i]) == ref, (i, w, (sc[i], qle[i],
+                                                           tle[i]), ref)
