@@ -189,23 +189,28 @@ def merged_intervals(pos: np.ndarray, delta: np.ndarray):
         return z, z, z
     n = len(pos)
     u_pos = u_depth = None
-    if pos.nbytes >= (8 << 20):
-        # placement: on a thin host<->device link the event round-trip
-        # costs more than a host sort+sweep (utils/linkprobe)
-        from ..utils.linkprobe import link_verdict, probe_link
+    # placement: on a thin host<->device link the event round-trip costs
+    # more than a host sort+sweep (utils/linkprobe). A known host verdict
+    # applies at ANY size (small transfers are RTT-dominated on a tunnel);
+    # with no verdict yet, big inputs probe and small ones try the device
+    # (the realized pull bandwidth below then votes via note_transfer).
+    from ..utils.linkprobe import link_verdict, probe_link
 
-        if (link_verdict() or probe_link(pos)) == "host":
-            from ..io.native import get_lib
+    verdict = link_verdict()
+    if verdict is None and pos.nbytes >= (8 << 20):
+        verdict = probe_link(pos)
+    if verdict == "host":
+        from ..io.native import get_lib
 
-            lib = get_lib()
-            if lib is not None:
-                u_pos = np.empty(n, np.int64)
-                u_depth = np.empty(n, np.int64)
-                k = lib.ngs_pileup_sweep(
-                    np.ascontiguousarray(pos, np.int32),
-                    np.ascontiguousarray(delta, np.int32),
-                    n, u_pos, u_depth, 0)
-                u_pos, u_depth = u_pos[:k], u_depth[:k]
+        lib = get_lib()
+        if lib is not None:
+            u_pos = np.empty(n, np.int64)
+            u_depth = np.empty(n, np.int64)
+            k = lib.ngs_pileup_sweep(
+                np.ascontiguousarray(pos, np.int32),
+                np.ascontiguousarray(delta, np.int32),
+                n, u_pos, u_depth, 0)
+            u_pos, u_depth = u_pos[:k], u_depth[:k]
     if u_pos is None:
         # bucket the event count to a power of two so XLA compiles one
         # sweep per bucket instead of one per chromosome/file shape
@@ -218,8 +223,15 @@ def merged_intervals(pos: np.ndarray, delta: np.ndarray):
             delta = np.pad(delta, (0, e - n))
         s_pos, cum, is_last = sparse_pileup_sweep(
             jnp.asarray(pos), jnp.asarray(delta), jnp.int32(n))
+        import time as _time
+
+        t0 = _time.monotonic()
         s_pos, cum, is_last = (np.asarray(s_pos), np.asarray(cum),
                                np.asarray(is_last))
+        from ..utils.linkprobe import note_transfer
+
+        note_transfer(s_pos.nbytes + cum.nbytes + is_last.nbytes,
+                      _time.monotonic() - t0)
         u_pos = s_pos[is_last].astype(np.int64)
         u_depth = cum[is_last].astype(np.int64)
     if len(u_pos) == 0:

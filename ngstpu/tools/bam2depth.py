@@ -50,8 +50,14 @@ def process_bam(path: str, index1: int, outfile: str, window: int,
         n_windows = tlen // window + 1
         starts, ends, depths = merged_intervals(pos, delta)
         if len(starts):
-            bedgraph.write(format_int3_rows(
-                name.encode(), starts, ends, depths).decode())
+            rows_b = format_int3_rows(name.encode(), starts, ends, depths)
+            if bedgraph is sys.stdout:  # keep text-layer ordering on stdout
+                bedgraph.write(rows_b.decode())
+            else:
+                # bytes straight to the OS buffer: the bedGraph is the big
+                # output (tens of MB); decode+re-encode through the text
+                # layer costs a full extra pass
+                bedgraph.buffer.write(rows_b)
         bins = depth_window_bins(starts, ends, depths, window, n_windows, tlen)
         ws = np.arange(n_windows, dtype=np.int64) * window
         we = np.minimum(ws + window, tlen)

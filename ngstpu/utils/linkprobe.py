@@ -30,6 +30,20 @@ def link_verdict() -> str | None:
     return _VERDICT[0] if _VERDICT else None
 
 
+def note_transfer(nbytes: int, seconds: float) -> None:
+    """Update the verdict from a REALIZED device transfer. The tunnel's
+    throughput swings over time (measured 5MB/s..1.4GB/s between phases),
+    so a single lucky probe can mis-place every later op; every big pull
+    re-votes instead. Small transfers are RTT-dominated and ignored."""
+    if os.environ.get("NGSTPU_LINK") in ("host", "device"):
+        return
+    if nbytes < (4 << 20) or seconds <= 0:
+        return
+    v = "host" if nbytes / seconds < bw_min() else "device"
+    _VERDICT.clear()
+    _VERDICT.append(v)
+
+
 def probe_link(arr: np.ndarray) -> str:
     """Time an ~8MB device_put slice of `arr`; record and return verdict."""
     import time
