@@ -15,6 +15,8 @@ import sys
 import zlib
 from typing import BinaryIO
 
+import numpy as np
+
 
 def _is_stdio(name: str | None) -> bool:
     # reference IO_stream.h:55 uses strncmp(filename, "-", 1): any name
@@ -90,6 +92,77 @@ def with_suffix(outfile: str, suffix: str) -> str:
     if _is_stdio(outfile):
         return outfile
     return outfile + suffix
+
+
+class ParallelGzipWriter:
+    """Multi-member gzip writer: buffered text deflates as INDEPENDENT
+    gzip members in parallel (ngsio.cpp ngs_gzip_compress_blocks);
+    concatenated members are a valid gzip file every reader accepts.
+
+    Used where the contract is decompressed-content parity (the gz
+    outputs of gzfastq_sample / gzfastq_uniq_sort / pick_pair — gzip BYTES
+    already differ from the reference across zlib versions); tools
+    needing the exact single-stream container keep GzipRecordWriter.
+    """
+
+    BLOCK = 4 << 20
+
+    def __init__(self, raw: BinaryIO, level: int = 6):
+        self._raw = raw
+        self._level = level
+        self._buf = bytearray()
+
+    def write(self, data: bytes) -> int:
+        self._buf += data
+        if len(self._buf) >= 16 << 20:
+            self._flush_blocks()
+        return len(data)
+
+    def _flush_blocks(self) -> None:
+        from .native import get_lib
+
+        data = bytes(self._buf)
+        self._buf.clear()
+        if not data:
+            return
+        lib = get_lib()
+        if lib is None:
+            import gzip as _gzip
+
+            self._raw.write(_gzip.compress(data, self._level, mtime=0))
+            return
+        n_blocks = (len(data) + self.BLOCK - 1) // self.BLOCK
+        starts = np.arange(n_blocks, dtype=np.int64) * self.BLOCK
+        lens = np.minimum(self.BLOCK, len(data) - starts)
+        caps = lens + (lens >> 9) + 64
+        offs = np.zeros(n_blocks, dtype=np.int64)
+        np.cumsum(caps[:-1], out=offs[1:])
+        payload = np.empty(int(caps.sum()), dtype=np.uint8)
+        sizes = np.empty(n_blocks, dtype=np.int64)
+        rc = lib.ngs_gzip_compress_blocks(
+            np.frombuffer(data, np.uint8), starts, lens, n_blocks,
+            payload, caps, offs, sizes, self._level, 0)
+        if rc != 0:  # capacity/zlib failure: plain fallback
+            import gzip as _gzip
+
+            self._raw.write(_gzip.compress(data, self._level, mtime=0))
+            return
+        for i in range(n_blocks):
+            self._raw.write(
+                memoryview(payload)[int(offs[i]):int(offs[i] + sizes[i])])
+
+    def close(self) -> None:
+        self._flush_blocks()
+        if self._raw is not sys.stdout.buffer:
+            self._raw.close()
+        else:
+            self._raw.flush()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 class GzipRecordWriter:

@@ -27,7 +27,7 @@ import sys
 import numpy as np
 
 from ..io.fastq import FastqChunkReader, count_reads, format_fastq
-from ..io.stream import GzipRecordWriter
+from ..io.stream import ParallelGzipWriter
 from ..rng.mt19937 import glibc_rand_first, sample_indices, x31_hash_batch
 from ..utils.timing import StageTimer
 
@@ -54,7 +54,7 @@ def _emit(batch, keep_idx: np.ndarray, ordinals: np.ndarray, out, fasta: bool):
 
 def _out_writer(infile: str, tag: str):
     name = os.path.basename(infile) + "." + tag + ".gz"
-    return GzipRecordWriter(open(name, "wb")), name
+    return ParallelGzipWriter(open(name, "wb")), name
 
 
 def proportion_mode(read1: str, read2: str | None, frac: float, seed: int,

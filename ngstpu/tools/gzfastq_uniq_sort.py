@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..io.fastq import format_fastq, read_fastq_file
 from ..io.native import concat_pairs, fill_padded
-from ..io.stream import GzipRecordWriter
+from ..io.stream import ParallelGzipWriter
 from ..ops.sortengine import dedup_groups, pack_for_dedup
 from ..utils.timing import StageTimer
 
@@ -30,7 +30,7 @@ OUT_CHUNK = 1 << 20
 
 
 def _emit_gz(path: str, batch, rep, counts, seq, lens) -> None:
-    out = GzipRecordWriter(open(path, "wb"))
+    out = ParallelGzipWriter(open(path, "wb"))
     for lo in range(0, len(rep), OUT_CHUNK):
         idx = rep[lo:lo + OUT_CHUNK]
         sub = batch.take(idx)

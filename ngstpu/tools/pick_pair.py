@@ -28,7 +28,7 @@ import numpy as np
 
 from ..io.fastq import format_fastq, read_fastq_file
 from ..io.native import fill_padded
-from ..io.stream import GzipRecordWriter
+from ..io.stream import ParallelGzipWriter
 from ..utils.timing import StageTimer
 
 OUT_CHUNK = 1 << 20
@@ -47,7 +47,7 @@ def _match_keys(batch) -> np.ndarray:
 
 
 def _emit(path: str, batch, idx: np.ndarray) -> None:
-    out = GzipRecordWriter(open(path, "wb"))
+    out = ParallelGzipWriter(open(path, "wb"))
     for lo in range(0, len(idx), OUT_CHUNK):
         sub = batch.take(idx[lo:lo + OUT_CHUNK])
         out.write(format_fastq(sub.names, sub.name_starts, sub.name_lens,

@@ -103,3 +103,31 @@ def test_fused_parser_matches_fallback():
         native.parse_fastq_chunk = real
     with pytest.raises(ValueError):
         real(np.frombuffer(b"@a\nAC\n+\n", np.uint8), 128, frozenset(("seq",)))
+
+
+def test_parallel_gzip_writer_multimember(tmp_path):
+    """Concatenated independent members decompress to the exact payload
+    through both the gzip module and a streaming zlib reader."""
+    import gzip
+    import zlib
+
+    import numpy as np
+
+    from ngstpu.io.stream import ParallelGzipWriter
+
+    rng = np.random.default_rng(0)
+    payload = bytes(rng.integers(32, 127, 9 << 20).astype(np.uint8))
+    p = tmp_path / "mm.gz"
+    with ParallelGzipWriter(open(p, "wb")) as w:
+        for lo in range(0, len(payload), 1 << 20):
+            w.write(payload[lo:lo + (1 << 20)])
+    with gzip.open(p, "rb") as f:
+        assert f.read() == payload
+    # streaming multi-member decode (the way our own readers consume gz)
+    data = p.read_bytes()
+    out, o = [], 0
+    while o < len(data):
+        d = zlib.decompressobj(16 + 15)
+        out.append(d.decompress(data[o:]))
+        o = len(data) - len(d.unused_data)
+    assert b"".join(out) == payload
