@@ -96,6 +96,113 @@ def _line(canvas, x1, y1, x2, y2, color) -> None:
         canvas.set_pixel(int(x1 + (x2 - x1) * f), int(y1 + (y2 - y1) * f), color)
 
 
+def _kde(values: np.ndarray, n_grid: int):
+    """Gaussian kernel density like R's density(): nrd0 bandwidth, grid
+    spanning [min - 3bw, max + 3bw], binned convolution evaluation."""
+    v = np.asarray(values, float)
+    if len(v) == 0:
+        return np.zeros(n_grid), np.zeros(n_grid)
+    sd = float(v.std(ddof=1)) if len(v) > 1 else 0.0
+    q75, q25 = np.percentile(v, [75, 25])
+    iqr = float(q75 - q25)
+    spread = min(sd, iqr / 1.34) if iqr > 0 else sd
+    if spread <= 0:
+        spread = abs(float(v.mean())) or 1.0
+    bw = 0.9 * spread * len(v) ** (-0.2)
+    lo, hi = float(v.min()) - 3 * bw, float(v.max()) + 3 * bw
+    x = np.linspace(lo, hi, n_grid)
+    # bin then convolve: exact enough at n_grid bins, O(n + grid^2/…)
+    hist, edges = np.histogram(v, bins=n_grid, range=(lo, hi))
+    centers = (edges[:-1] + edges[1:]) / 2
+    y = np.zeros(n_grid)
+    k = np.exp(-0.5 * ((x[:, None] - centers[None, :]) / bw) ** 2)
+    y = (k @ hist) / (len(v) * bw * np.sqrt(2 * np.pi))
+    return x, y
+
+
+def _gc_density_chart(path: str, gc_pct: np.ndarray, n_grid: int) -> None:
+    """GC kernel-density curve with the mean / max-density annotations of
+    reference Rfastqc.R:120-156 plot_GC_density (dashed drop line at the
+    density peak + legend with both percentages)."""
+    width, height = 900, 600
+    canvas = Canvas(width, height)
+    canvas.rectangle(50, 20, width - 20, height - 40, (0, 0, 0))
+    x, y = _kde(gc_pct, max(n_grid, 64))
+    if y.max() <= 0:
+        write_png(path, canvas)
+        return
+    steel = (70, 130, 180)
+    xs = 50 + (x - x[0]) / max(x[-1] - x[0], 1e-9) * (width - 70)
+    ys = (height - 40) - y / y.max() * (height - 80)
+    for k in range(len(x) - 1):
+        _line(canvas, xs[k], ys[k], xs[k + 1], ys[k + 1], steel)
+    # dashed segment from the peak down to the axis (R `segments(...lty=2)`)
+    pk = int(np.argmax(y))
+    for yy in range(int(ys[pk]), height - 40, 6):
+        canvas.filled_rectangle(int(xs[pk]), yy, int(xs[pk]),
+                                min(yy + 3, height - 40), (0, 0, 0))
+    mean_gc = float(np.mean(gc_pct)) if len(gc_pct) else 0.0
+    canvas.text(width - 340, 30, f"Mean GC%: {mean_gc:.2f}%", (0, 0, 0),
+                scale=2)
+    canvas.text(width - 340, 50, f"Max density GC%: {x[pk]:.2f}%", (0, 0, 0),
+                scale=2)
+    canvas.text(width // 2 - 30, height - 20, "GC(%)", (0, 0, 0), scale=2)
+    write_png(path, canvas)
+
+
+def _boxplot_chart(path: str, qmat: np.ndarray, n_cycles: int) -> None:
+    """Per-cycle quality boxplot (Rfastqc.R:235-267 plot_boxplot): scores
+    34..75, Tukey box (quartiles + median), 1.5-IQR whiskers, no
+    outliers; Q20/Q30 guide lines. Computed from the quality histogram
+    (weighted quantiles — the R script downsamples counts by 100 before
+    replicating, which empties small files; we use the full counts)."""
+    width, height = 900, 600
+    canvas = Canvas(width, height)
+    canvas.rectangle(50, 20, width - 20, height - 40, (0, 0, 0))
+    scores = np.arange(34, 76)
+    sub = qmat[34:76, :n_cycles].astype(np.float64)  # [42, cycles]
+    n_cycles = sub.shape[1]
+    if n_cycles == 0:
+        write_png(path, canvas)
+        return
+
+    def y_of(score):
+        return int((height - 40) - (score - 34) / (75 - 34) * (height - 80))
+
+    steel = (70, 130, 180)
+    span = (width - 80) / max(n_cycles, 1)
+    bw2 = max(int(span * 0.75 / 2), 1)
+    for c in range(n_cycles):
+        col = sub[:, c]
+        tot = col.sum()
+        if tot == 0:
+            continue
+        cum = np.cumsum(col)
+
+        def wq(p):
+            return float(scores[np.searchsorted(cum, p * tot)])
+
+        q1, med, q3 = wq(0.25), wq(0.5), wq(0.75)
+        iqr = q3 - q1
+        lo_lim, hi_lim = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+        present = scores[col > 0]
+        wlo = float(present[present >= lo_lim].min())
+        whi = float(present[present <= hi_lim].max())
+        xc = int(50 + (c + 0.5) * span)
+        canvas.filled_rectangle(max(xc - bw2, 50), y_of(q3),
+                                min(xc + bw2, width - 21), y_of(q1), steel)
+        canvas.filled_rectangle(max(xc - bw2, 50), y_of(med),
+                                min(xc + bw2, width - 21), y_of(med),
+                                (0, 0, 0))
+        for a, b_ in ((whi, q3), (q1, wlo)):
+            canvas.filled_rectangle(xc, y_of(a), xc, y_of(b_), (0, 0, 0))
+    for score, color in ((53, (255, 140, 0)), (63, (178, 34, 34))):
+        yline = y_of(score)
+        canvas.filled_rectangle(50, yline, width - 21, yline, color)
+    canvas.text(width // 2 - 30, height - 20, "CYCLE", (0, 0, 0), scale=2)
+    write_png(path, canvas)
+
+
 def _heatmap(path: str, mat: np.ndarray, q20_row: int, q30_row: int) -> None:
     """Quality heatmap: rows=qual value (33..104), cols=cycle."""
     sub = mat[33:105, :]  # visible phred range
@@ -156,8 +263,9 @@ def run(out_prefix: str, fq1: str, fq2: str | None) -> None:
         _heatmap(f"{out_prefix}_quality_heatmap_mate{idx}.png", qmat, Q20, Q30)
         _chart_lines(f"{out_prefix}_nucleotide_mate{idx}.png",
                      {NT_ROWS[r]: nmat[r, :L] for r in range(5)})
-        _chart_lines(f"{out_prefix}_gc_density_mate{idx}.png",
-                     {"GC": gc_hist})
+        _gc_density_chart(f"{out_prefix}_gc_density_mate{idx}.png",
+                          st["gc_frac"][:b.n] * 100.0, L)
+        _boxplot_chart(f"{out_prefix}_boxplotquality_mate{idx}.png", qmat, L)
         _chart_lines(f"{out_prefix}_length_mate{idx}.png",
                      {"len": st["len_hist"]})
 
