@@ -135,6 +135,8 @@ def read_bai(path: str) -> list[tuple[dict[int, list[tuple[int, int]]],
         for _ in range(n_ref):
             (n_bin,) = struct.unpack_from("<i", data, o)
             o += 4
+            if n_bin < 0 or o + 12 * n_bin > len(data):
+                raise ValueError("corrupt BAI: bin table exceeds file")
             bins: dict[int, list[tuple[int, int]]] = {}
             for _ in range(n_bin):
                 b, n_chunk = struct.unpack_from("<Ii", data, o)

@@ -68,9 +68,22 @@ def _bench_mesh(n_dev: int, reads_per_chip: int, read_len: int,
         int(res["n_groups"])
         t_sort = min(t_sort, time.monotonic() - t0)
 
+    # full distributed ordered sort (sample-sort: local sorts + all_gather
+    # splitters + bucket all_to_all + re-sort), end-to-end incl. shard puts
+    from .dsort import distributed_sort
+
+    words_np = np.asarray(packed).astype(np.uint32)
+    distributed_sort(mesh, words_np, lens)  # compile + warm
+    t_dsort = float("inf")
+    for _ in range(max(iters - 2, 1)):
+        t0 = time.monotonic()
+        distributed_sort(mesh, words_np, lens)
+        t_dsort = min(t_dsort, time.monotonic() - t0)
+
     return dict(n_dev=n_dev, reads=B,
                 qc_reads_per_s=B / t_best,
-                dedup_reads_per_s=B / t_sort)
+                dedup_reads_per_s=B / t_sort,
+                dsort_reads_per_s=B / t_dsort)
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -22,6 +22,29 @@ from ..utils.timing import StageTimer
 
 
 def count_file(path: str) -> QCAccumulator:
+    import os
+
+    import numpy as np
+
+    if not os.environ.get("NGSTPU_NO_FASTPATH"):
+        from ..io.fastindex import fused_stats, index_fastq
+        from ..utils.bufpool import get_buffer, get_matrix
+
+        ix = index_fastq(path)
+        if ix is not None:
+            # one offset-based pass over the mmap'd bytes; the (tiny)
+            # 1-word pack the fused kernel also emits is discarded
+            B = ix.n
+            hist_q = np.zeros((512, 128), np.uint64)
+            hist_len = np.zeros(512, np.uint64)
+            bucket = np.zeros(256, np.uint32)
+            words = get_matrix("count.words", max(B, 1), 1, np.uint32)
+            sumq = get_buffer("count.sumq", 4 * max(B, 1), np.uint32)
+            for lo in range(0, B, 1 << 20):
+                hi = min(lo + (1 << 20), B)
+                fused_stats(ix, lo, hi, 1, words[lo:hi], sumq[lo:hi],
+                            hist_q, hist_len, bucket)
+            return QCAccumulator.from_host_partials(hist_q, hist_len)
     acc = QCAccumulator()
     for batch in FastqChunkReader(path, need=("qual",)):
         acc.add_batch(batch.qual, batch.lens, batch.n)

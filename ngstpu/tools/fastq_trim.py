@@ -58,20 +58,62 @@ def main(argv: list[str]) -> int:
         _usage()
         return 1
 
-    out = open_output(with_suffix(outfile, ".trim.fastq"))
-    n = 0
-    for batch in FastqChunkReader(infile):
-        seq, qual, lens = trim_batch(batch, start, end)
-        out.write(format_fastq(batch.names, batch.name_starts, batch.name_lens,
-                               seq, qual, lens))
-        n += batch.n
+    import os
+
+    n = None
+    if not os.environ.get("NGSTPU_NO_FASTPATH"):
+        n = _trim_fast(infile, outfile, start, end)
+    if n is None:
+        out = open_output(with_suffix(outfile, ".trim.fastq"))
+        n = 0
+        for batch in FastqChunkReader(infile):
+            seq, qual, lens = trim_batch(batch, start, end)
+            out.write(format_fastq(batch.names, batch.name_starts,
+                                   batch.name_lens, seq, qual, lens))
+            n += batch.n
+        if out is not sys.stdout.buffer:
+            out.close()
+        else:
+            out.flush()
     sys.stderr.write(f"Total_reads: {n}\n")
     timer.log("Finished in %.3f s\n")
-    if out is not sys.stdout.buffer:
-        out.close()
-    else:
-        out.flush()
     return 0
+
+
+def _trim_fast(infile: str, outfile: str, start: int, end: int) -> int | None:
+    """Offset-indexed trim: text assembled straight from the mmap'd bytes
+    per chunk, written by the background ring writer (the same machinery
+    as tools/pipeline.run_fast). None when the fast path does not apply."""
+    from ..io.fastindex import index_fastq, trim_text
+    from ..utils.bufpool import get_buffer
+    from .pipeline import CHUNK_RECORDS, _RingWriter
+
+    ix = index_fastq(infile)
+    if ix is None:
+        return None
+    out = open_output(with_suffix(outfile, ".trim.fastq"))
+    B = ix.n
+    cl = np.clip(np.minimum(ix.seq_len.astype(np.int64), end) - start,
+                 0, None)
+    rec = ix.name_len.astype(np.int64) + 1 + cl + 3 + cl + 1
+    cap = 1
+    for lo in range(0, B, CHUNK_RECORDS):
+        cap = max(cap, int(rec[lo:lo + CHUNK_RECORDS].sum()))
+    writer = _RingWriter(out, ["trim.a", "trim.b", "trim.c"])
+    try:
+        for lo in range(0, B, CHUNK_RECORDS):
+            hi = min(lo + CHUNK_RECORDS, B)
+            name = writer.acquire()
+            buf = get_buffer(name, cap)
+            total = trim_text(ix, lo, hi, start, end, buf)
+            writer.submit(name, buf, total)
+    finally:
+        writer.close()
+        if out is not sys.stdout.buffer:
+            out.close()
+        else:
+            out.flush()
+    return B
 
 
 def _usage() -> None:

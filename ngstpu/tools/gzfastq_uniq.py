@@ -98,8 +98,71 @@ def _emit(out, batch, rep: np.ndarray, counts: np.ndarray,
                                qual_lens=sub.lens, count_suffix=suffix))
 
 
+def _run_se_fast(read1: str, outfile: str, timer: StageTimer) -> bool:
+    """Offset-indexed SE dedup (the tools/pipeline.run_fast machinery):
+    mmap + one fused pack/sumq pass, placement-aware sort, text emitted
+    straight from the raw bytes with the second output kernel-cloned.
+    Returns False when the fast path does not apply."""
+    from ..io.fastindex import fused_stats, index_fastq, uniq_text
+    from ..utils.bufpool import get_buffer, get_matrix
+    from ..utils.linkprobe import link_verdict, probe_link
+    from .pipeline import (CHUNK_RECORDS, _CloningSink, _RingWriter,
+                           _sort_device, _sort_host)
+
+    if not outfile or outfile.startswith("-"):
+        return False
+    ix = index_fastq(read1)
+    if ix is None or ix.n == 0:
+        return False
+    B = ix.n
+    lmax = int(ix.seq_len.max())
+    W = max(1, -(-lmax // 16))
+    words = get_matrix("pipe.words", B, W, np.uint32)
+    sumq = get_buffer("pipe.sumq", 4 * B, np.uint32)
+    hist_q = np.zeros((512, 128), np.uint64)
+    hist_len = np.zeros(512, np.uint64)
+    bucket = np.zeros(256, np.uint32)
+    for lo in range(0, B, CHUNK_RECORDS):
+        hi = min(lo + CHUNK_RECORDS, B)
+        if not fused_stats(ix, lo, hi, W, words[lo:hi], sumq[lo:hi],
+                           hist_q, hist_len, bucket):
+            return False  # non-ACGT: generic path handles wide alphabets
+    timer.log("Finished load hash at %.3f s\n")
+    const_len = int(ix.seq_len.min()) == lmax
+    verdict = link_verdict()
+    if verdict is None:
+        verdict = probe_link(words)
+    gen = (_sort_host(ix, words, sumq, const_len) if verdict == "host"
+           else _sort_device(ix, words, sumq, bucket, const_len, W))
+    n_groups = 0
+    with open(with_suffix(outfile, "_uniq.fq"), "wb", buffering=0) as f1, \
+            open(with_suffix(outfile, "_sortKeyUniq.fq"), "wb",
+                 buffering=0) as f2:
+        writer = _RingWriter(_CloningSink(f1, f2), ["pipe.emit0",
+                                                    "pipe.emit1"])
+        try:
+            for rep, counts in gen:
+                n_groups += len(rep)
+                if len(rep) == 0:
+                    continue
+                name = writer.acquire()
+                view, total = uniq_text(ix, rep, counts, name)
+                writer.submit(name, view, total)
+        finally:
+            writer.close()
+    sys.stderr.write(
+        f"unique reads number = {n_groups}({n_groups} / {B} = "
+        f"{100.0 * n_groups / B:.3f}%)\n")
+    return True
+
+
 def run_se(read1: str, outfile: str, timer: StageTimer,
            mesh_n: int = 0) -> None:
+    import os
+
+    if mesh_n <= 1 and not os.environ.get("NGSTPU_NO_FASTPATH") \
+            and _run_se_fast(read1, outfile, timer):
+        return
     batch = read_fastq_file(read1)
     sumq = jnp.asarray(sum_quality_host(batch.qual))
     rep, counts, n_groups = dedup_device(batch.seq, batch.lens, sumq, mesh_n)

@@ -276,3 +276,71 @@ def test_bai_adversarial_indexes(tmp_path):
             assert got[1].n >= 0
     except ValueError:
         pass
+
+
+def test_bai_adversarial_fuzz(tmp_path):
+    """VERDICT r1 item 10: adversarial .bai inputs — overlapping/reversed
+    chunks, absurd n_intv/n_bin, random byte mutations and truncations.
+    The reader and the region decode must either produce a result or
+    raise ValueError; never crash with anything else."""
+    import struct
+
+    import numpy as np
+
+    from ngstpu.io.bai import read_bai, region_voffsets, write_bai
+    from ngstpu.io.bam import read_bam_region
+    from ngstpu.testing.bamfixtures import random_bam
+
+    bam = tmp_path / "f.bam"
+    random_bam(str(bam), [("chr1", 60000), ("chr2", 30000)], 4000, seed=3)
+    bai = tmp_path / "f.bam.bai"
+    write_bai(str(bam), str(bai))
+    good = bai.read_bytes()
+
+    def attempt(blob: bytes):
+        p = tmp_path / "mut.bam.bai"
+        p.write_bytes(blob)
+        try:
+            refs = read_bai(str(p))
+            region_voffsets(refs, 0, 100, 50000)
+            region_voffsets(refs, 1, 0, 1 << 29)
+        except ValueError:
+            return
+        # also drive the full region decode against the original BAM
+        mb = tmp_path / "mut.bam"
+        if not mb.exists():
+            mb.write_bytes(bam.read_bytes())
+        try:
+            read_bam_region(str(mb) if blob is not good else str(bam),
+                            "chr1", 100, 50000)
+        except ValueError:
+            pass
+
+    # hand-crafted adversarial cases
+    hdr = good[:8]
+    # reversed + overlapping chunks in one bin, absurd linear index count
+    evil = hdr
+    evil += struct.pack("<i", 1)                      # n_bin for ref0
+    evil += struct.pack("<Ii", 4681, 3)               # bin, n_chunk
+    evil += struct.pack("<QQ", 900 << 16, 100 << 16)  # reversed
+    evil += struct.pack("<QQ", 100 << 16, 500 << 16)
+    evil += struct.pack("<QQ", 200 << 16, 400 << 16)  # overlapping
+    evil += struct.pack("<i", 3)                      # n_intv
+    evil += struct.pack("<QQQ", 0, 1 << 40, (1 << 63) | 7)
+    evil += struct.pack("<i", 0) + struct.pack("<i", 0)  # ref1 empty
+    attempt(evil)
+    attempt(hdr + struct.pack("<i", -5))              # negative n_bin
+    attempt(hdr + struct.pack("<i", 1 << 30))         # absurd n_bin
+    attempt(good[:8] + struct.pack("<i", 2) + struct.pack("<i", -9))
+    attempt(b"BAI\x01")                               # bare magic
+    attempt(b"JUNKJUNKJUNK")
+
+    rng = np.random.default_rng(0)
+    g = np.frombuffer(good, np.uint8).copy()
+    for _ in range(60):  # random mutations
+        m = g.copy()
+        for _ in range(int(rng.integers(1, 6))):
+            m[rng.integers(0, len(m))] = rng.integers(0, 256)
+        attempt(m.tobytes())
+    for cut in rng.integers(0, len(good), 12):        # truncations
+        attempt(good[:int(cut)])
