@@ -39,7 +39,7 @@ def _build() -> bool:
     # never observe a half-written .so
     tmp = _BUILD_DIR / f".libngsio.{os.getpid()}.so"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-o", str(tmp), str(_SRC), "-lz", "-lpthread"]
+           "-o", str(tmp), str(_SRC), "-lz", "-lpthread", "-ldl"]
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=180)
         if r.returncode != 0 or not tmp.exists():

@@ -20,8 +20,43 @@
 #include <vector>
 
 #include <zlib.h>
+#include <dlfcn.h>
 
 namespace {
+
+// libdeflate (when present on the system) inflates gzip members ~2-3x
+// faster than zlib — the decisive lever for BGZF/BAM decode throughput on
+// a low-core host. Loaded lazily via dlopen so the build never depends on
+// it; every call site falls back to the zlib path on absence or error.
+struct LibDeflate {
+    void* (*alloc_decompressor)(void) = nullptr;
+    void (*free_decompressor)(void*) = nullptr;
+    // enum libdeflate_result (0 == LIBDEFLATE_SUCCESS)
+    int (*gzip_decompress_ex)(void*, const void*, size_t, void*, size_t,
+                              size_t*, size_t*) = nullptr;
+    bool ok = false;
+};
+
+const LibDeflate& libdeflate() {
+    static const LibDeflate ld = [] {
+        LibDeflate l;
+        void* h = dlopen("libdeflate.so.0", RTLD_NOW | RTLD_LOCAL);
+        if (!h) h = dlopen("libdeflate.so", RTLD_NOW | RTLD_LOCAL);
+        if (!h) return l;
+        l.alloc_decompressor = reinterpret_cast<void* (*)(void)>(
+            dlsym(h, "libdeflate_alloc_decompressor"));
+        l.free_decompressor = reinterpret_cast<void (*)(void*)>(
+            dlsym(h, "libdeflate_free_decompressor"));
+        l.gzip_decompress_ex =
+            reinterpret_cast<int (*)(void*, const void*, size_t, void*,
+                                     size_t, size_t*, size_t*)>(
+                dlsym(h, "libdeflate_gzip_decompress_ex"));
+        l.ok = l.alloc_decompressor && l.free_decompressor &&
+               l.gzip_decompress_ex;
+        return l;
+    }();
+    return ld;
+}
 
 int hw_threads() {
     unsigned n = std::thread::hardware_concurrency();
@@ -463,12 +498,39 @@ int ngs_gzip_decompress_blocks(const uint8_t* data, const int64_t* block_starts,
                                int nthreads) {
     if (nthreads <= 0) nthreads = hw_threads();
     std::atomic<int> err{0};
+    const LibDeflate& ld = libdeflate();
     parallel_ranges(n_blocks, nthreads, [&](int64_t lo, int64_t hi, int) {
+        void* dec = ld.ok ? ld.alloc_decompressor() : nullptr;
         for (int64_t i = lo; i < hi; ++i) {
+            if (dec) {
+                // fast path: walk the (possibly concatenated) gzip members
+                // of this block with libdeflate; any hiccup falls through
+                // to the zlib loop below for this block only.
+                const uint8_t* in = data + block_starts[i];
+                size_t in_left = static_cast<size_t>(block_lens[i]);
+                int64_t produced = 0;
+                bool good = true;
+                while (in_left > 0) {
+                    size_t used = 0, got = 0;
+                    int r = ld.gzip_decompress_ex(
+                        dec, in, in_left, out + out_offsets[i] + produced,
+                        static_cast<size_t>(out_caps[i] - produced), &used,
+                        &got);
+                    if (r != 0 || used == 0) { good = false; break; }
+                    produced += static_cast<int64_t>(got);
+                    in += used;
+                    in_left -= used;
+                }
+                if (good) {
+                    out_sizes[i] = produced;
+                    continue;
+                }
+            }
             z_stream zs;
             memset(&zs, 0, sizeof(zs));
             if (inflateInit2(&zs, 16 + 15) != Z_OK) {
                 err.store(1);
+                if (dec) ld.free_decompressor(dec);
                 return;
             }
             zs.next_in = const_cast<uint8_t*>(data + block_starts[i]);
@@ -495,6 +557,7 @@ int ngs_gzip_decompress_blocks(const uint8_t* data, const int64_t* block_starts,
             out_sizes[i] = produced;
             inflateEnd(&zs);
         }
+        if (dec) ld.free_decompressor(dec);
     });
     return err.load();
 }
