@@ -12,6 +12,7 @@ bamSplitChr can re-emit records verbatim.
 from __future__ import annotations
 
 import dataclasses
+import os
 import struct
 
 import numpy as np
@@ -243,6 +244,158 @@ class BamStream:
         if carry:
             body = np.frombuffer(carry, dtype=np.uint8)
             yield scan_records(body, strict=True)
+
+
+class DensePileupUnsupported(ValueError):
+    """Input contains alignments the dense pileup cannot represent
+    (reference start below 0 — corrupt records); callers fall back to the
+    sparse event path, which handles them like the reference's hash."""
+
+
+def stream_depth_dense(path: str, flag_mask: int,
+                       chunk_bytes: int = 32 << 20):
+    """Fused dense pileup over a whole BAM (the bam2depth fast path).
+
+    Decodes in O(chunk) BGZF batches (like BamStream) but instead of
+    materializing columnar records + event arrays, each chunk scatters its
+    CIGAR M-run deltas directly into dense per-reference int32 arrays in
+    ONE native pass (ngs_bam_depth_scan) — no intermediate sort, the role
+    of the reference's per-read depth accumulation (bam2depth.c:90-107)
+    done chunk-parallel. Records failing `flag & flag_mask == 0` or with
+    tid outside the header are skipped.
+
+    Returns (header, generator of (delta_int32[>=ref_len+1], m_run_count)
+    per reference in header order), or None when the native library is
+    unavailable (callers fall back to stream_chrom_events). Like
+    stream_chrom_events, coordinate-grouped inputs release each
+    chromosome's array as soon as the stream moves past its tid (working
+    set = largest touched chromosome); interleaved tids accumulate until
+    EOF with identical outputs.
+    """
+    from .native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    stream = BamStream(path, chunk_bytes)
+    header = stream.header
+    n_refs = header.n_refs
+    ref_lens = header.ref_lens
+
+    SPILL_CAP = 4096
+
+    def gen():
+        arrays: list = [None] * n_refs
+        ptrs = np.zeros(n_refs, np.uintp)
+        cur_lens = np.zeros(n_refs, np.int64)
+        needed = np.zeros(max(n_refs, 1 + 3 * SPILL_CAP), np.int64)
+        ev_counts = np.zeros(n_refs, np.int64)
+        # [monotone, last passing tid, mode (1 fast / 0 handshake / -1 undo)]
+        state = np.array([1, -1, 0], np.int32)
+        emitted = 0
+        empty = np.zeros(1, np.int32)
+
+        def grow(t, need):
+            need = max(int(need), int(ref_lens[t]) + 1)
+            if arrays[t] is None:
+                arrays[t] = np.zeros(need, np.int32)
+            elif len(arrays[t]) < need:
+                grown = np.zeros(need, np.int32)
+                grown[:len(arrays[t])] = arrays[t]
+                arrays[t] = grown
+            else:
+                return
+            ptrs[t] = arrays[t].ctypes.data
+            cur_lens[t] = len(arrays[t])
+
+        # small genomes: allocate every array upfront so the common case
+        # runs in fast mode — a single scatter pass per chunk, no
+        # validation pass and no -2 handshake re-walks; big genomes stay
+        # lazy for bounded RSS
+        prealloc_max = int(os.environ.get("NGSTPU_DENSE_PREALLOC_MAX",
+                                          64 << 20))  # elements (x4 bytes)
+        fast = sum(ref_lens) + n_refs <= prealloc_max
+        if fast:
+            for t in range(n_refs):
+                grow(t, 0)
+
+        def take(t):
+            a = arrays[t]
+            arrays[t] = None
+            ptrs[t] = 0
+            cur_lens[t] = 0
+            needed[t] = 0
+            return (a if a is not None else empty), int(ev_counts[t])
+
+        import itertools
+
+        carry = stream._carry
+        stream._carry = b""
+        # NOTE: no producer-thread prefetch here — inflate and scan are
+        # each internally multithreaded, so on a small host alternating
+        # them at full width beats oversubscribed overlap (measured).
+        # The b"" sentinel scans whatever carry remains after the last
+        # inflated batch (including the whole-file-in-header-batch case).
+        for data in itertools.chain(stream._gen, (b"",)):
+            if not data and not carry:
+                continue
+            body_bytes = carry + data if carry else data
+            body = np.frombuffer(body_bytes, dtype=np.uint8)
+            consumed = -2
+            if fast:
+                state[2] = 1
+                needed[0] = SPILL_CAP
+                consumed = lib.ngs_bam_depth_scan(
+                    body, len(body), ptrs, cur_lens, n_refs, flag_mask,
+                    needed, ev_counts, state, 0)
+                if consumed == -3:
+                    # spill capacity exceeded (pathological file): undo the
+                    # fast pass exactly, then redo via the handshake below
+                    state[2] = -1
+                    lib.ngs_bam_depth_scan(
+                        body, len(body), ptrs, cur_lens, n_refs, flag_mask,
+                        needed, ev_counts, state, 0)
+                    needed[:n_refs] = 0
+                    consumed = -2
+                elif needed[0]:
+                    # rare out-of-range runs, applied here after growing
+                    n_sp = int(needed[0])
+                    trips = needed[1:1 + 3 * n_sp].reshape(-1, 3)
+                    if (trips[:, 1] < 0).any():
+                        raise DensePileupUnsupported(
+                            "alignment start below position 0")
+                    for t, s, ln in trips.tolist():
+                        grow(t, s + ln + 1)
+                        arrays[t][s] += 1
+                        arrays[t][s + ln] -= 1
+                    needed[0] = 0
+            state[2] = 0
+            while consumed == -2:
+                consumed = lib.ngs_bam_depth_scan(
+                    body, len(body), ptrs, cur_lens, n_refs, flag_mask,
+                    needed, ev_counts, state, 0)
+                if consumed == -4:
+                    raise DensePileupUnsupported(
+                        "alignment start below position 0")
+                if consumed == -2:
+                    # allocation handshake: grow what the chunk needs
+                    for t in np.flatnonzero(needed[:n_refs]):
+                        grow(int(t), needed[int(t)])
+            carry = body_bytes[consumed:]
+            if state[0]:  # monotone so far: tids below last_tid are final
+                while emitted < state[1] and emitted < n_refs:
+                    yield take(emitted)
+                    emitted += 1
+        if carry:
+            # trailing bytes that never formed a complete record: reuse the
+            # strict scan for the exact malformed-input diagnostics
+            scan_records(np.frombuffer(carry, dtype=np.uint8), strict=True)
+            raise ValueError("truncated BAM record at end of file")
+        while emitted < n_refs:
+            yield take(emitted)
+            emitted += 1
+
+    return header, gen()
 
 
 def read_bam_region(path: str, ref_name_or_tid, beg: int, end: int

@@ -156,6 +156,16 @@ def get_lib() -> ctypes.CDLL | None:
         lib.ngs_pileup_sweep.restype = _i64
         lib.ngs_pileup_sweep.argtypes = [_p_i32, _p_i32, _i64, _p_i64,
                                          _p_i64, _int]
+        lib.ngs_bam_depth_scan.restype = _i64
+        lib.ngs_bam_depth_scan.argtypes = [
+            _p_u8, _i64,
+            np.ctypeslib.ndpointer(np.uintp, flags="C_CONTIGUOUS"),
+            _p_i64, _i32, _i32, _p_i64, _p_i64, _p_i32, _int]
+        lib.ngs_depth_emit.restype = _i64
+        lib.ngs_depth_emit.argtypes = [
+            _p_i32, _i64, _p_u8, _i32, _i64,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            _i64, _p_u8, _i64]
         lib.ngs_format_int3_rows.restype = _i64
         lib.ngs_format_int3_rows.argtypes = [_p_u8, _i32, _p_i64, _p_i64,
                                              _p_i64, _i64, _p_u8]
@@ -321,6 +331,34 @@ def format_int3_rows(prefix: bytes, a: np.ndarray, b: np.ndarray,
     w = lib.ngs_format_int3_rows(np.frombuffer(prefix, np.uint8), len(prefix),
                                  a64, b64, c64, n, out)
     return out[:w].tobytes()
+
+
+def depth_emit_dense(delta: np.ndarray, ev_count: int, name: bytes,
+                     window: int, n_windows: int
+                     ) -> tuple[bytes, np.ndarray] | None:
+    """Dense delta array -> (bedGraph rows bytes, float64 window bins).
+
+    One native pass (ngs_depth_emit): prefix-sum the deltas, emit
+    "name\\tstart\\tend\\tdepth\\n" for every maximal constant-depth run with
+    depth > 0, and accumulate exact depth*bp overlap per window — the
+    fused form of merged_intervals + format_int3_rows + depth_window_bins
+    (reference bam2depth.c hash2BedGraph :203-236 / output_bins :238-246).
+    Returns None when the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    bins = np.zeros(n_windows, np.float64)
+    if ev_count == 0:
+        return b"", bins
+    cap = (2 * ev_count + 2) * (len(name) + 70)
+    text = np.empty(cap, np.uint8)
+    w = lib.ngs_depth_emit(np.ascontiguousarray(delta, np.int32), len(delta),
+                           np.frombuffer(name, np.uint8), len(name),
+                           window, bins, n_windows, text, cap)
+    if w < 0:  # cap bound above is a proof; this is defensive only
+        raise ValueError("depth emit buffer overflow")
+    return text[:w].tobytes(), bins
 
 
 def concat_pairs(a: np.ndarray, la: np.ndarray, b: np.ndarray,

@@ -1282,4 +1282,266 @@ int64_t ngs_format_int2_fixed2_rows(const uint8_t* prefix, int32_t prefix_len,
     return o - out;
 }
 
+// ---------------------------------------------------------------------------
+// Fused dense pileup (the bam2depth/bam2wig fast path)
+// ---------------------------------------------------------------------------
+// Instead of materializing (pos, ±1) event arrays and sorting them (the
+// ngs_pileup_sweep fallback above), scatter CIGAR M-run bounds straight
+// into dense per-reference delta arrays while scanning the records, then
+// emit bedGraph rows + window bins from one prefix-sum pass. This is the
+// capability of the reference's per-read pileup accumulation
+// (bam2depth.c:90-107 + hash2BedGraph :203-236 + output_bins :238-246)
+// restructured as two data-parallel passes with no intermediate sort.
+//
+// ngs_bam_depth_scan processes ONE inflated chunk of BAM record bytes.
+// delta_ptrs[tid] is a caller-owned int32 array of cur_lens[tid] entries
+// (zero-initialized); entries may be NULL until a chunk first touches the
+// tid. The call first walks record offsets (also tracking whether the
+// stream's passing-record tids stay nondecreasing in state[0]/state[1]),
+// then validates in parallel that every touched tid has a large-enough
+// array, reporting requirements in needed_len[tid] (max event end + 1,
+// monotone nondecreasing across calls). If any allocation is missing or
+// short it returns -2 WITHOUT scattering — the caller allocates/grows and
+// calls again with the same chunk (the handshake keeps even
+// beyond-reference-end alignments bit-identical to the event path).
+// Otherwise it atomically scatters +1 at each M-run start and -1 at its
+// end, adds per-tid M-run counts into ev_counts, and returns the number
+// of bytes consumed by complete records (the caller carries the rest).
+int64_t ngs_bam_depth_scan(const uint8_t* buf, int64_t n,
+                           int32_t** delta_ptrs, const int64_t* cur_lens,
+                           int32_t n_refs, int32_t flag_mask,
+                           int64_t* needed_len, int64_t* ev_counts,
+                           int32_t* state /* [monotone, last_tid] */,
+                           int nthreads) {
+    std::vector<int64_t> offs;
+    offs.reserve(n / 64 + 1);
+    int64_t o = 0;
+    int32_t monotone = state[0], last_tid = state[1];
+    while (o + 4 <= n) {
+        uint32_t bs;
+        memcpy(&bs, buf + o, 4);
+        if (bs < 32 || o + 4 + (int64_t)bs > n) break;
+        const uint8_t* r = buf + o + 4;
+        uint8_t l_read_name = r[8];
+        uint16_t nc;
+        memcpy(&nc, r + 12, 2);
+        int32_t l_seq;
+        memcpy(&l_seq, r + 16, 4);
+        if (l_read_name < 1 || l_seq < 0 ||
+            32 + (int64_t)l_read_name + 4 * (int64_t)nc +
+                    ((int64_t)l_seq + 1) / 2 + (int64_t)l_seq > (int64_t)bs)
+            break;
+        int32_t tid;
+        uint16_t fl;
+        memcpy(&tid, r, 4);
+        memcpy(&fl, r + 14, 2);
+        if ((fl & flag_mask) == 0 && tid >= 0 && tid < n_refs) {
+            if (tid < last_tid) monotone = 0;
+            last_tid = tid;
+        }
+        offs.push_back(o);
+        o += 4 + (int64_t)bs;
+    }
+    state[0] = monotone;
+    state[1] = last_tid;
+    const int64_t rec = (int64_t)offs.size();
+    if (nthreads <= 0) nthreads = hw_threads();
+
+    // Fast mode (state[2] == 1, set when the caller preallocated every
+    // array at >= ref_len+1): skip the validation pass, scatter directly
+    // with a per-run bounds check. Out-of-range runs (alignments past the
+    // declared reference end, or tids the caller freed — both rare) spill
+    // into `needed_len` reinterpreted as a (tid, start, len) triple list
+    // the caller applies itself after growing: needed_len[0] = triple
+    // capacity on entry, replaced by the spill count on exit (so
+    // needed_len must be sized >= max(n_refs, 1 + 3*cap)). If the spill
+    // count exceeds the capacity the call returns -3 with all in-range
+    // runs already applied; the caller undoes them exactly by re-invoking
+    // with state[2] == -1 (same walk, inverted sign, spills ignored) and
+    // then falls back to the handshake passes below.
+    if (state[2]) {
+        const int32_t sg = state[2] < 0 ? -1 : 1;
+        const int64_t spill_cap = sg > 0 ? needed_len[0] : 0;
+        std::atomic<int64_t> spill{0};
+        parallel_ranges(rec, nthreads, [&](int64_t lo, int64_t hi, int) {
+            for (int64_t i = lo; i < hi; ++i) {
+                const uint8_t* r = buf + offs[i] + 4;
+                int32_t tid, pos;
+                uint16_t fl, nc;
+                memcpy(&tid, r, 4);
+                memcpy(&pos, r + 4, 4);
+                memcpy(&nc, r + 12, 2);
+                memcpy(&fl, r + 14, 2);
+                if ((fl & flag_mask) != 0 || tid < 0 || tid >= n_refs)
+                    continue;
+                uint8_t l_read_name = r[8];
+                const uint8_t* cg = r + 32 + l_read_name;
+                int32_t* d = delta_ptrs[tid];
+                const int64_t lim = d ? cur_lens[tid] : 0;
+                int64_t ref = pos, runs = 0;
+                for (int k = 0; k < nc; ++k) {
+                    uint32_t c;
+                    memcpy(&c, cg + 4 * k, 4);
+                    uint32_t op = c & 0xF, ln = c >> 4;
+                    if (op == 0) {
+                        if (ref >= 0 && ref + (int64_t)ln < lim) {
+                            __atomic_fetch_add(&d[ref], sg, __ATOMIC_RELAXED);
+                            __atomic_fetch_add(&d[ref + ln], -sg,
+                                               __ATOMIC_RELAXED);
+                        } else if (sg > 0) {
+                            int64_t s = spill.fetch_add(1);
+                            if (s < spill_cap) {
+                                needed_len[1 + 3 * s] = tid;
+                                needed_len[2 + 3 * s] = ref;
+                                needed_len[3 + 3 * s] = ln;
+                            }
+                        }
+                        ++runs;
+                        ref += ln;
+                    } else if (op == 2 || op == 3) {
+                        ref += ln;
+                    }
+                }
+                if (runs)
+                    __atomic_fetch_add(&ev_counts[tid], sg * runs,
+                                       __ATOMIC_RELAXED);
+            }
+        });
+        if (sg > 0) {
+            int64_t s = spill.load();
+            needed_len[0] = s;
+            if (s > spill_cap) return -3;
+        }
+        if (!rec) return 0;
+        uint32_t last_bs;
+        memcpy(&last_bs, buf + offs[rec - 1], 4);
+        return offs[rec - 1] + 4 + (int64_t)last_bs;
+    }
+
+    // pass B: per-tid required lengths (max M-run end + 1), no writes.
+    // A run starting below position 0 (possible only in corrupt records)
+    // cannot be represented densely — flagged and surfaced as -4 so the
+    // caller falls back to the sparse event path.
+    std::atomic<int> short_alloc{0};
+    std::atomic<int> neg_start{0};
+    parallel_ranges(rec, nthreads, [&](int64_t lo, int64_t hi, int) {
+        for (int64_t i = lo; i < hi; ++i) {
+            const uint8_t* r = buf + offs[i] + 4;
+            int32_t tid, pos;
+            uint16_t fl, nc;
+            memcpy(&tid, r, 4);
+            memcpy(&pos, r + 4, 4);
+            memcpy(&nc, r + 12, 2);
+            memcpy(&fl, r + 14, 2);
+            if ((fl & flag_mask) != 0 || tid < 0 || tid >= n_refs) continue;
+            uint8_t l_read_name = r[8];
+            const uint8_t* cg = r + 32 + l_read_name;
+            int64_t ref = pos, max_end = pos;
+            bool any = false;
+            for (int k = 0; k < nc; ++k) {
+                uint32_t c;
+                memcpy(&c, cg + 4 * k, 4);
+                uint32_t op = c & 0xF, ln = c >> 4;
+                if (op == 0) {  // M: event [ref, ref+ln)
+                    any = true;
+                    if (ref < 0) neg_start.store(1, std::memory_order_relaxed);
+                    if (ref + (int64_t)ln > max_end) max_end = ref + ln;
+                    ref += ln;
+                } else if (op == 2 || op == 3) {  // D/N advance
+                    ref += ln;
+                }
+            }
+            if (!any) continue;
+            int64_t need = max_end + 1;
+            int64_t seen = __atomic_load_n(&needed_len[tid], __ATOMIC_RELAXED);
+            while (need > seen &&
+                   !__atomic_compare_exchange_n(&needed_len[tid], &seen, need,
+                                                false, __ATOMIC_RELAXED,
+                                                __ATOMIC_RELAXED)) {
+            }
+            if (delta_ptrs[tid] == nullptr || cur_lens[tid] < need)
+                short_alloc.store(1, std::memory_order_relaxed);
+        }
+    });
+    if (neg_start.load()) return -4;
+    if (short_alloc.load()) return -2;
+
+    // pass C: atomic delta scatter + per-tid M-run counts
+    parallel_ranges(rec, nthreads, [&](int64_t lo, int64_t hi, int) {
+        for (int64_t i = lo; i < hi; ++i) {
+            const uint8_t* r = buf + offs[i] + 4;
+            int32_t tid, pos;
+            uint16_t fl, nc;
+            memcpy(&tid, r, 4);
+            memcpy(&pos, r + 4, 4);
+            memcpy(&nc, r + 12, 2);
+            memcpy(&fl, r + 14, 2);
+            if ((fl & flag_mask) != 0 || tid < 0 || tid >= n_refs) continue;
+            uint8_t l_read_name = r[8];
+            const uint8_t* cg = r + 32 + l_read_name;
+            int32_t* d = delta_ptrs[tid];
+            int64_t ref = pos, runs = 0;
+            for (int k = 0; k < nc; ++k) {
+                uint32_t c;
+                memcpy(&c, cg + 4 * k, 4);
+                uint32_t op = c & 0xF, ln = c >> 4;
+                if (op == 0) {
+                    __atomic_fetch_add(&d[ref], 1, __ATOMIC_RELAXED);
+                    __atomic_fetch_add(&d[ref + ln], -1, __ATOMIC_RELAXED);
+                    ++runs;
+                    ref += ln;
+                } else if (op == 2 || op == 3) {
+                    ref += ln;
+                }
+            }
+            if (runs)
+                __atomic_fetch_add(&ev_counts[tid], runs, __ATOMIC_RELAXED);
+        }
+    });
+    if (!rec) return 0;
+    uint32_t last_bs;
+    memcpy(&last_bs, buf + offs[rec - 1], 4);
+    return offs[rec - 1] + 4 + (int64_t)last_bs;
+}
+
+// Dense delta array -> merged bedGraph rows + exact window bins, one pass.
+// Emits "name\tstart\tend\tdepth\n" for every maximal constant-depth run
+// with depth > 0 and accumulates depth*bp overlap into bins[w] for windows
+// of size `window` (only w < n_windows; callers clamp exactly like
+// ops/bamops.depth_window_bins). Returns bytes written to text, or -1 if
+// cap could be exceeded (caller sizes cap from ev_counts: rows <=
+// 2*ev_counts+1). L1 is the delta array length (>= last event end + 1).
+int64_t ngs_depth_emit(const int32_t* delta, int64_t L1, const uint8_t* name,
+                       int32_t name_len, int64_t window, double* bins,
+                       int64_t n_windows, uint8_t* text, int64_t cap) {
+    uint8_t* o = text;
+    uint8_t* const end = text + cap;
+    int64_t depth = 0, i = 0;
+    while (i < L1) {
+        depth += delta[i];
+        int64_t j = i + 1;
+        while (j < L1 && delta[j] == 0) ++j;
+        if (depth > 0) {
+            if (o + name_len + 70 > end) return -1;
+            memcpy(o, name, name_len);
+            o += name_len;
+            *o++ = '\t'; o = put_i64(o, i);
+            *o++ = '\t'; o = put_i64(o, j);
+            *o++ = '\t'; o = put_i64(o, depth);
+            *o++ = '\n';
+            if (window > 0 && bins) {
+                for (int64_t w = i / window; w < n_windows; ++w) {
+                    int64_t ws = w * window;
+                    if (ws >= j) break;
+                    int64_t lo = i > ws ? i : ws;
+                    int64_t hi = j < ws + window ? j : ws + window;
+                    bins[w] += (double)((hi - lo) * depth);
+                }
+            }
+        }
+        i = j;
+    }
+    return o - text;
+}
+
 }  // extern "C"

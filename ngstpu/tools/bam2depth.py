@@ -35,7 +35,45 @@ from ..utils.timing import StageTimer
 
 def process_bam(path: str, index1: int, outfile: str, window: int,
                 wig: bool, timer: StageTimer) -> None:
+    from ..io.bam import DensePileupUnsupported, stream_depth_dense
+    from ..io.native import depth_emit_dense
+
+    dense = stream_depth_dense(path, DEF_MASK)
+    if dense is not None:
+        # fast path: fused native dense pileup — per-chrom delta scatter
+        # during the chunked decode, then one emit pass producing the
+        # bedGraph rows and the exact window bins together
+        header, per_ref = dense
+        rows_and_bins = (
+            depth_emit_dense(delta, evs, name.encode(), window,
+                             tlen // window + 1)
+            for (name, tlen), (delta, evs) in zip(
+                zip(header.ref_names, header.ref_lens), per_ref))
+        try:
+            _emit_outputs(path, header, rows_and_bins, index1, outfile,
+                          window, wig, timer)
+            return
+        except DensePileupUnsupported:
+            pass  # corrupt coordinates: redo on the sparse event path
+            # (outputs below reopen with truncation, so no partial rows)
     header, events = stream_chrom_events(path, DEF_MASK)
+
+    def rows_and_bins_legacy():
+        for (name, tlen), (pos, delta) in zip(
+                zip(header.ref_names, header.ref_lens), events):
+            n_windows = tlen // window + 1
+            starts, ends, depths = merged_intervals(pos, delta)
+            rows_b = (format_int3_rows(name.encode(), starts, ends, depths)
+                      if len(starts) else b"")
+            yield rows_b, depth_window_bins(starts, ends, depths, window,
+                                            n_windows, tlen)
+
+    _emit_outputs(path, header, rows_and_bins_legacy(), index1, outfile,
+                  window, wig, timer)
+
+
+def _emit_outputs(path, header, rows_and_bins, index1: int, outfile: str,
+                  window: int, wig: bool, timer: StageTimer) -> None:
     bedgraph = open_text_output(
         with_suffix(os.path.basename(path), f".{index1}.bedGraph"))
     depth_out = open_text_output(with_suffix(outfile, f".{index1}.depth"))
@@ -45,12 +83,10 @@ def process_bam(path: str, index1: int, outfile: str, window: int,
         chr_out = open_text_output(
             with_suffix(outfile, f".{index1}.chromSize.txt"))
 
-    for (name, tlen), (pos, delta) in zip(
-            zip(header.ref_names, header.ref_lens), events):
+    for (name, tlen), (rows_b, bins) in zip(
+            zip(header.ref_names, header.ref_lens), rows_and_bins):
         n_windows = tlen // window + 1
-        starts, ends, depths = merged_intervals(pos, delta)
-        if len(starts):
-            rows_b = format_int3_rows(name.encode(), starts, ends, depths)
+        if rows_b:
             if bedgraph is sys.stdout:  # keep text-layer ordering on stdout
                 bedgraph.write(rows_b.decode())
             else:
@@ -58,7 +94,6 @@ def process_bam(path: str, index1: int, outfile: str, window: int,
                 # output (tens of MB); decode+re-encode through the text
                 # layer costs a full extra pass
                 bedgraph.buffer.write(rows_b)
-        bins = depth_window_bins(starts, ends, depths, window, n_windows, tlen)
         ws = np.arange(n_windows, dtype=np.int64) * window
         we = np.minimum(ws + window, tlen)
         rows = [f"{name}\t{int(ws[i])}\t{int(we[i])}\t{bins[i] / window:.2f}\n"

@@ -70,3 +70,106 @@ def test_stream_truncated_bgzf_raises(tmp_path, bam):
     with pytest.raises(ValueError):
         for _ in iter_inflated(str(p), chunk_bytes=1 << 14):
             pass
+
+
+def _events_to_dense(pos, delta, length):
+    dense = np.zeros(length, np.int64)
+    np.add.at(dense, pos.astype(np.int64), delta.astype(np.int64))
+    return dense
+
+
+def _assert_dense_matches_events(path, chunk_bytes=1 << 14):
+    from ngstpu.io.bam import DEF_MASK, stream_depth_dense
+    from ngstpu.ops.bamops import stream_chrom_events
+
+    got = stream_depth_dense(path, DEF_MASK, chunk_bytes=chunk_bytes)
+    if got is None:
+        pytest.skip("native library unavailable")
+    header, per_ref = got
+    _, events = stream_chrom_events(path, DEF_MASK, chunk_bytes=chunk_bytes)
+    for (dense, evs), (pos, delta) in zip(per_ref, events):
+        exp = _events_to_dense(pos, delta, max(len(dense), 1))
+        assert (dense[:len(exp)].astype(np.int64) == exp).all()
+        assert (dense[len(exp):] == 0).all()
+        assert evs * 2 == len(pos)
+    return header
+
+
+def test_dense_depth_matches_events(bam):
+    _assert_dense_matches_events(bam)
+
+
+def test_dense_depth_unsorted_and_overhang(tmp_path):
+    """Interleaved tids (monotone off) and alignments past the declared
+    reference end (allocation-growth handshake) both match the event path."""
+    from ngstpu.testing.bamfixtures import encode_record, make_bam
+
+    refs = [("c1", 5000), ("c2", 3000)]
+    recs = []
+    seq = "ACGT" * 25
+    for i, (tid, pos) in enumerate([(1, 100), (0, 4990), (1, 2990), (0, 50),
+                                    (1, 0), (0, 4000), (0, 30), (1, 2000)]):
+        # 100M overhangs the short refs at the high positions; add D/N/I mix
+        cigar = "40M10D30M20N30M" if i % 3 == 0 else "100M"
+        flag = 0x400 if i == 5 else 0  # one duplicate: must be filtered
+        recs.append(encode_record(f"r{i}", tid, pos, 30, cigar, seq,
+                                  flag=flag))
+    p = tmp_path / "weird.bam"
+    make_bam(str(p), refs, recs)
+    _assert_dense_matches_events(str(p), chunk_bytes=1 << 12)
+
+
+def test_depth_emit_dense_matches_numpy(bam):
+    from ngstpu.io.bam import DEF_MASK, stream_depth_dense
+    from ngstpu.io.native import depth_emit_dense, format_int3_rows
+    from ngstpu.ops.bamops import (depth_window_bins, merged_intervals,
+                                   stream_chrom_events)
+
+    got = stream_depth_dense(bam, DEF_MASK)
+    if got is None:
+        pytest.skip("native library unavailable")
+    header, per_ref = got
+    _, events = stream_chrom_events(bam, DEF_MASK)
+    for tlen, name, (dense, evs), (pos, delta) in zip(
+            header.ref_lens, header.ref_names, per_ref, events):
+        for window in (700, 20000):
+            n_windows = tlen // window + 1
+            rows, bins = depth_emit_dense(dense, evs, name.encode(), window,
+                                          n_windows)
+            starts, ends, depths = merged_intervals(pos, delta)
+            exp_rows = format_int3_rows(name.encode(), starts, ends, depths)
+            exp_bins = depth_window_bins(starts, ends, depths, window,
+                                         n_windows, tlen)
+            assert rows == exp_rows
+            assert np.allclose(bins, exp_bins)
+
+
+def test_dense_depth_spill_overflow_undo(tmp_path):
+    """>4096 overhanging runs in one chunk exceeds the spill capacity;
+    the fast pass must undo itself exactly and redo via the handshake."""
+    from ngstpu.testing.bamfixtures import encode_record, make_bam
+
+    refs = [("c1", 300)]
+    seq = "ACGT" * 25
+    recs = [encode_record(f"r{i}", 0, 250 + (i % 40), 30, "100M", seq)
+            for i in range(5000)]  # all overhang the 300bp ref
+    p = tmp_path / "spilly.bam"
+    make_bam(str(p), refs, recs)
+    _assert_dense_matches_events(str(p), chunk_bytes=32 << 20)
+
+
+def test_dense_depth_negative_start_raises(tmp_path):
+    from ngstpu.io.bam import (DEF_MASK, DensePileupUnsupported,
+                               stream_depth_dense)
+    from ngstpu.testing.bamfixtures import encode_record, make_bam
+
+    refs = [("c1", 1000)]
+    seq = "ACGT" * 25
+    recs = [encode_record("rneg", 0, -5, 30, "100M", seq)]
+    p = tmp_path / "neg.bam"
+    make_bam(str(p), refs, recs)
+    got = stream_depth_dense(str(p), DEF_MASK)
+    if got is None:
+        pytest.skip("native library unavailable")
+    with pytest.raises(DensePileupUnsupported):
+        list(got[1])
