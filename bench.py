@@ -31,7 +31,7 @@ REPO = pathlib.Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 N_READS = int(os.environ.get("NGSTPU_BENCH_READS", 1 << 21))
-ROUNDS = int(os.environ.get("NGSTPU_BENCH_ROUNDS", 2))
+ROUNDS = int(os.environ.get("NGSTPU_BENCH_ROUNDS", 3))
 READ_LEN = 100
 TRIM_END = 50
 

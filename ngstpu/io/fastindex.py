@@ -53,10 +53,16 @@ def _is_plain_file(path: str | None) -> bool:
         return False
 
 
-def index_fastq(path: str | None) -> IndexedFastq | None:
+def index_fastq(path: str | None,
+                pool: str | None = None) -> IndexedFastq | None:
     """Index a plain FASTQ file via mmap. Returns None when this fast path
     does not apply (stdin, gzip, empty file, no native lib, or a missing
     trailing newline) — callers fall back to the generic reader.
+
+    `pool`: optional bufpool name prefix for the six offset arrays —
+    repeated same-process runs (benchmarks, the serve daemon) then reuse
+    the pages instead of re-faulting ~60MB per run. Views of the same pool
+    name alias, so only one IndexedFastq per pool name may be live.
 
     Raises ValueError on a line count that is not a multiple of 4 (same
     contract as the generic parser).
@@ -87,12 +93,22 @@ def index_fastq(path: str | None) -> IndexedFastq | None:
         raise ValueError(
             f"FASTQ file has {n_lines} lines (not a multiple of 4)")
     b = n_lines // 4
-    name_off = np.empty(b, np.int64)
-    name_len = np.empty(b, np.int32)
-    seq_off = np.empty(b, np.int64)
-    seq_len = np.empty(b, np.int32)
-    qual_off = np.empty(b, np.int64)
-    qual_len = np.empty(b, np.int32)
+    if pool is not None:
+        from ..utils.bufpool import get_buffer
+
+        name_off = get_buffer(pool + ".name_off", 8 * b, np.int64)
+        name_len = get_buffer(pool + ".name_len", 4 * b, np.int32)
+        seq_off = get_buffer(pool + ".seq_off", 8 * b, np.int64)
+        seq_len = get_buffer(pool + ".seq_len", 4 * b, np.int32)
+        qual_off = get_buffer(pool + ".qual_off", 8 * b, np.int64)
+        qual_len = get_buffer(pool + ".qual_len", 4 * b, np.int32)
+    else:
+        name_off = np.empty(b, np.int64)
+        name_len = np.empty(b, np.int32)
+        seq_off = np.empty(b, np.int64)
+        seq_len = np.empty(b, np.int32)
+        qual_off = np.empty(b, np.int64)
+        qual_len = np.empty(b, np.int32)
     if b:
         lib.ngs_fastq_index(data, len(data), state, name_off, name_len,
                             seq_off, seq_len, qual_off, qual_len, t)
@@ -166,17 +182,11 @@ def uniq_text(ix: IndexedFastq, rep: np.ndarray, counts: np.ndarray,
         return get_buffer(bufname, 1), 0
     rep = np.ascontiguousarray(rep, np.int64)
     counts = np.ascontiguousarray(counts, np.int64)
-    digits = np.ones(k, np.int64)
-    c = counts // 10
-    while c.any():
-        digits += c > 0
-        c //= 10
-    sl = ix.seq_len[rep].astype(np.int64)
-    rec = (ix.name_len[rep].astype(np.int64) + 1 + digits + 1
-           + sl + 3 + sl + 1)
-    out_starts = np.zeros(k, np.int64)
-    np.cumsum(rec[:-1], out=out_starts[1:])
-    total = int(out_starts[-1] + rec[-1])
+    out_starts = get_buffer(bufname + ".starts", 8 * k, np.int64)[:k]
+    total = int(lib.ngs_uniq_sizes(
+        np.ascontiguousarray(ix.name_len, np.int32),
+        np.ascontiguousarray(ix.seq_len, np.int32),
+        rep, counts, k, out_starts))
     out = get_buffer(bufname, total)
     lib.ngs_format_uniq_ofs(
         ix.data, ix.name_off, ix.name_len, ix.seq_off, ix.seq_len,

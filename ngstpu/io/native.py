@@ -122,6 +122,15 @@ def get_lib() -> ctypes.CDLL | None:
         lib.ngs_dedup_sort_host.argtypes = [
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
             ctypes.c_void_p, _int, _i64, _i64, _p_i32, _p_u8, _int]
+        lib.ngs_dedup_groups_host.restype = _i64
+        lib.ngs_dedup_groups_host.argtypes = [
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            _int, _i64, _i64, _p_i32, _p_i64, _p_i64, _int]
+        lib.ngs_uniq_sizes.restype = _i64
+        lib.ngs_uniq_sizes.argtypes = [_p_i32, _p_i32, _p_i64, _p_i64,
+                                       _i64, _p_i64]
         lib.ngs_gzip_compress_blocks.restype = _int
         lib.ngs_gzip_compress_blocks.argtypes = [
             _p_u8, _p_i64, _p_i64, _i64, _p_u8, _p_i64, _p_i64, _p_i64,

@@ -87,7 +87,7 @@ void parallel_ranges(int64_t n, int nthreads, F&& fn) {
 
 extern "C" {
 
-int ngs_version() { return 10400; }
+int ngs_version() { return 10500; }
 
 // ---------------------------------------------------------------------------
 // Newline scanning
@@ -905,6 +905,107 @@ void ngs_dedup_sort_host(const uint32_t* words, const int32_t* lens,
             is_head[k] = same ? 0 : 1;
         }
     });
+}
+
+// Sort + group extraction fused (host placement of the whole dedup): the
+// same MSD scatter + per-bucket std::sort as ngs_dedup_sort_host, but each
+// bucket's worker also extracts its groups while the rows are cache-hot:
+// group size and representative row = earliest occurrence among the
+// group's max-sumq rows (the strictly-greater replacement of reference
+// gzfastq_uniq.c:224-229; the stable sort makes perm ascending within a
+// group, so first-max-seen == earliest). Per-bucket results land at the
+// bucket's row offset in rep/counts (groups <= rows per bucket, and a
+// group never straddles buckets — the leading packed byte differs); one
+// sequential in-place memmove pass packs them tight. Returns group count.
+int64_t ngs_dedup_groups_host(const uint32_t* words, const int32_t* lens,
+                              const uint32_t* sumq, int use_len,
+                              int64_t b, int64_t W, int32_t* perm,
+                              int64_t* rep, int64_t* counts, int nthreads) {
+    if (b == 0) return 0;
+    if (nthreads <= 0) nthreads = hw_threads();
+    std::vector<int64_t> boff(257, 0);
+    for (int64_t i = 0; i < b; ++i) ++boff[(words[i * W] >> 24) + 1];
+    for (int k = 0; k < 256; ++k) boff[k + 1] += boff[k];
+    std::vector<int64_t> cursor(boff.begin(), boff.end() - 1);
+    for (int64_t i = 0; i < b; ++i)
+        perm[cursor[words[i * W] >> 24]++] = static_cast<int32_t>(i);
+    auto cmp = [&](int32_t a, int32_t c) {
+        const uint32_t* ra = words + (int64_t)a * W;
+        const uint32_t* rc = words + (int64_t)c * W;
+        for (int64_t w = 0; w < W; ++w) {
+            if (ra[w] != rc[w]) return ra[w] < rc[w];
+        }
+        if (use_len && lens[a] != lens[c]) return lens[a] < lens[c];
+        return a < c;  // stability
+    };
+    int64_t g_per[256] = {0};
+    std::atomic<int> next{0};
+    parallel_ranges(nthreads, nthreads, [&](int64_t, int64_t, int) {
+        for (;;) {
+            int k = next.fetch_add(1);
+            if (k >= 256) return;
+            int64_t lo = boff[k], hi = boff[k + 1];
+            if (lo == hi) continue;
+            std::sort(perm + lo, perm + hi, cmp);
+            int64_t* rp = rep + lo;
+            int64_t* cp = counts + lo;
+            int64_t g = 0, gstart = lo;
+            uint32_t best_q = sumq[perm[lo]];
+            int32_t best_row = perm[lo];
+            for (int64_t i = lo + 1; i <= hi; ++i) {
+                bool head = true;
+                if (i < hi) {
+                    const uint32_t* ra = words + (int64_t)perm[i - 1] * W;
+                    const uint32_t* rc = words + (int64_t)perm[i] * W;
+                    head = memcmp(ra, rc, W * 4) != 0 ||
+                           (use_len && lens[perm[i - 1]] != lens[perm[i]]);
+                }
+                if (head) {
+                    rp[g] = best_row;
+                    cp[g] = i - gstart;
+                    ++g;
+                    if (i < hi) {
+                        gstart = i;
+                        best_q = sumq[perm[i]];
+                        best_row = perm[i];
+                    }
+                } else {
+                    uint32_t q = sumq[perm[i]];
+                    if (q > best_q) { best_q = q; best_row = perm[i]; }
+                }
+            }
+            g_per[k] = g;
+        }
+    });
+    int64_t total = 0;
+    for (int k = 0; k < 256; ++k) {
+        int64_t base = boff[k];
+        if (g_per[k] && base != total) {
+            memmove(rep + total, rep + base, g_per[k] * 8);
+            memmove(counts + total, counts + base, g_per[k] * 8);
+        }
+        total += g_per[k];
+    }
+    return total;
+}
+
+// Record sizes + exclusive-prefix output offsets for the dedup emit
+// (name\t{count}\nseq\n+\nqual\n, reference gzfastq_uniq.c:325-357).
+// Returns total bytes. Sequential: ~3 gathers per group, memory-trivial.
+int64_t ngs_uniq_sizes(const int32_t* name_len, const int32_t* seq_len,
+                       const int64_t* rep, const int64_t* counts,
+                       int64_t k_total, int64_t* out_starts) {
+    int64_t acc = 0;
+    for (int64_t k = 0; k < k_total; ++k) {
+        out_starts[k] = acc;
+        int64_t c = counts[k];
+        int d = 1;
+        while (c >= 10) { c /= 10; ++d; }
+        int64_t r = rep[k];
+        int64_t sl = seq_len[r];
+        acc += name_len[r] + 1 + d + 1 + sl + 3 + sl + 1;
+    }
+    return acc;
 }
 
 // 3-bit DNA rank packing for device sort keys (ranks . A C G N T = 1..6,
