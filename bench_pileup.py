@@ -1,12 +1,18 @@
 #!/usr/bin/env python
 """Pileup benchmark: bam2depth bp/sec vs the single-core C reference.
 
-BASELINE.md's second metric. Generates (once) a coordinate-sorted BAM with
-~N reads over 4 chromosomes, indexes it, runs both bam2depth
-implementations end-to-end (decode + pileup + bedGraph/window emission)
-and prints one JSON line with genome bp/sec swept and the C ratio.
+BASELINE.md's second metric (config 5: "bam2depth on WGS BAM"). The
+fixture is WGS-shaped: 24 references x 100Mbp (2.4Gbp genome), deep
+enough that the dense fast path runs in the lazy-allocation regime
+(sum(ref_lens) >> NGSTPU_DENSE_PREALLOC_MAX, io/bam.py) rather than the
+small-genome preallocating mode. Both sides run INTERLEAVED min-of-N
+rounds (C round, ngstpu round, repeat) — this VM's throughput swings ~5x
+between phases, so a single draw on either side is a lottery ticket, not
+a measurement.
 
-NGSTPU_BENCH_BAM_READS scales the workload (default 2^20 reads x 100bp).
+NGSTPU_BENCH_BAM_READS scales the workload (default 2^23 reads x 100bp,
+~0.35x mean depth); NGSTPU_BENCH_BAM_ROUNDS the interleaving (default 2).
+NGSTPU_BENCH_BAM_REFS / NGSTPU_BENCH_BAM_REFLEN reshape the genome.
 """
 
 from __future__ import annotations
@@ -21,21 +27,23 @@ import time
 REPO = pathlib.Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
-N_READS = int(os.environ.get("NGSTPU_BENCH_BAM_READS", 1 << 20))
-REF_LEN = 5_000_000
-N_REFS = 4
+N_READS = int(os.environ.get("NGSTPU_BENCH_BAM_READS", 1 << 23))
+REF_LEN = int(os.environ.get("NGSTPU_BENCH_BAM_REFLEN", 100_000_000))
+N_REFS = int(os.environ.get("NGSTPU_BENCH_BAM_REFS", 24))
+ROUNDS = int(os.environ.get("NGSTPU_BENCH_BAM_ROUNDS", 2))
 
 
 def ensure_fixture() -> pathlib.Path:
     d = REPO / ".cache" / "bench"
     d.mkdir(parents=True, exist_ok=True)
-    p = d / f"pileup_{N_READS}.bam"
+    p = d / f"pileup_{N_READS}_{N_REFS}x{REF_LEN}.bam"
     if not p.exists():
-        from ngstpu.testing.bamfixtures import index_bam, random_bam
-        random_bam(str(p), [(f"chr{i+1}", REF_LEN) for i in range(N_REFS)],
-                   N_READS, seed=7)
-        index_bam(str(p))
-    if not (d / f"pileup_{N_READS}.bam.bai").exists():
+        from ngstpu.testing.bamfixtures import random_bam_fast
+        sys.stderr.write(f"[bench_pileup] generating {N_READS} reads over "
+                         f"{N_REFS}x{REF_LEN}bp...\n")
+        random_bam_fast(str(p), [(f"chr{i+1}", REF_LEN)
+                                 for i in range(N_REFS)], N_READS, seed=7)
+    if not pathlib.Path(str(p) + ".bai").exists():
         from ngstpu.testing.bamfixtures import index_bam
         index_bam(str(p))
     return p
@@ -48,33 +56,42 @@ def main() -> None:
 
     from ngstpu.testing.oracles import build_oracle
     exe = build_oracle("bam2depth")
-    c_secs = None
-    if exe:
-        t0 = time.monotonic()
-        r = subprocess.run([exe, "-o", str(work / "c"), str(path)],
-                           capture_output=True, timeout=3600, cwd=str(work))
-        c_secs = time.monotonic() - t0 if r.returncode == 0 else None
 
     from ngstpu.utils.jaxsetup import setup_jax_cache
     setup_jax_cache()
     from ngstpu.tools import bam2depth as ours
 
-    best = None
-    for _ in range(3):
+    def run_c() -> float | None:
+        t0 = time.monotonic()
+        r = subprocess.run([exe, "-o", str(work / "c"), str(path)],
+                           capture_output=True, timeout=3600, cwd=str(work))
+        return time.monotonic() - t0 if r.returncode == 0 else None
+
+    def run_ours() -> float | None:
         t0 = time.monotonic()
         rc = ours.main(["-o", str(work / "n"), str(path)])
-        dt = time.monotonic() - t0
-        if rc == 0 and (best is None or dt < best):
+        return time.monotonic() - t0 if rc == 0 else None
+
+    run_ours()  # warmup: page-cache the BAM, fault the pools
+    c_best, best = None, None
+    for _ in range(ROUNDS):
+        if exe:
+            c = run_c()
+            if c is not None and (c_best is None or c < c_best):
+                c_best = c
+        dt = run_ours()
+        if dt is not None and (best is None or dt < best):
             best = dt
     bp = N_REFS * REF_LEN
     payload = {
         "metric": "bam2depth_bp_per_sec",
         "value": round(bp / best, 1) if best else 0.0,
         "unit": "bp/s",
-        "vs_baseline": round(c_secs / best, 3) if (c_secs and best) else 0.0,
+        "vs_baseline": round(c_best / best, 3) if (c_best and best) else 0.0,
     }
-    sys.stderr.write(f"[bench_pileup] reads={N_READS} ours={best:.2f}s "
-                     f"C_ref={'%.2f' % c_secs if c_secs else 'n/a'}s\n")
+    sys.stderr.write(f"[bench_pileup] reads={N_READS} genome={N_REFS}x"
+                     f"{REF_LEN} ours={best:.2f}s "
+                     f"C_ref={'%.2f' % c_best if c_best else 'n/a'}s\n")
     print(json.dumps(payload), flush=True)
 
 

@@ -140,6 +140,26 @@ def fused_stats(ix: IndexedFastq, lo: int, hi: int, words: int,
     return bad == 0
 
 
+def fused_pair_stats(ix1: IndexedFastq, ix2: IndexedFastq, lo: int, hi: int,
+                     words: int, words_out: np.ndarray, sumq_out: np.ndarray,
+                     bucket_hist: np.ndarray) -> bool:
+    """Fused PE pass over pairs [lo, hi): pack seq1||seq2 into one 2-bit
+    key stream (the sds key of reference gzfastq_uniq.c:212-213), sum both
+    mates' quality bytes, histogram the leading packed byte. Returns True
+    when all sequence bytes (both mates) were ACGT."""
+    lib = get_lib()
+    b = hi - lo
+    if b == 0:
+        return True
+    bad = lib.ngs_fastq_fused_pair(
+        ix1.data, ix1.seq_off[lo:hi], ix1.seq_len[lo:hi],
+        ix1.qual_off[lo:hi], ix1.qual_len[lo:hi],
+        ix2.data, ix2.seq_off[lo:hi], ix2.seq_len[lo:hi],
+        ix2.qual_off[lo:hi], ix2.qual_len[lo:hi],
+        b, words, words_out, sumq_out, bucket_hist, 0)
+    return bad == 0
+
+
 def trim_text(ix: IndexedFastq, lo: int, hi: int, start: int, end: int,
               out: np.ndarray) -> int:
     """Assemble trimmed FASTQ text for records [lo, hi) into `out`

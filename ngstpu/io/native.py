@@ -131,6 +131,14 @@ def get_lib() -> ctypes.CDLL | None:
         lib.ngs_uniq_sizes.restype = _i64
         lib.ngs_uniq_sizes.argtypes = [_p_i32, _p_i32, _p_i64, _p_i64,
                                        _i64, _p_i64]
+        lib.ngs_fastq_fused_pair.restype = _int
+        lib.ngs_fastq_fused_pair.argtypes = [
+            _p_u8, _p_i64, _p_i32, _p_i64, _p_i32,
+            _p_u8, _p_i64, _p_i32, _p_i64, _p_i32,
+            _i64, _i64,
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"), _int]
         lib.ngs_gzip_compress_blocks.restype = _int
         lib.ngs_gzip_compress_blocks.argtypes = [
             _p_u8, _p_i64, _p_i64, _i64, _p_u8, _p_i64, _p_i64, _p_i64,

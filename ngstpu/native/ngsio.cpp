@@ -779,6 +779,80 @@ int ngs_fastq_fused(const uint8_t* data,
     return any_bad.load();
 }
 
+// Paired-end fused pass: pack seq1||seq2 of each pair into one continuous
+// 2-bit stream (the sds key sdscatlen of reference gzfastq_uniq.c:212-213
+// as a bit-packed sort key), sum both mates' quality bytes, and histogram
+// the leading packed byte for device partitioning. No QC histograms — the
+// standalone PE dedup does not need them. Returns 0 when every sequence
+// byte (both mates) was in {A,C,G,T}; 1 otherwise.
+int ngs_fastq_fused_pair(const uint8_t* d1,
+                         const int64_t* seq_off1, const int32_t* seq_len1,
+                         const int64_t* qual_off1, const int32_t* qual_len1,
+                         const uint8_t* d2,
+                         const int64_t* seq_off2, const int32_t* seq_len2,
+                         const int64_t* qual_off2, const int32_t* qual_len2,
+                         int64_t b, int64_t words,
+                         uint32_t* words_out, uint32_t* sumq,
+                         uint32_t* bucket_hist, int nthreads) {
+    static uint8_t rank[256];
+    static uint8_t bad[256];
+    static bool init = false;
+    if (!init) {
+        memset(rank, 0, sizeof(rank));
+        memset(bad, 1, sizeof(bad));
+        rank[(uint8_t)'A'] = 0; bad[(uint8_t)'A'] = 0;
+        rank[(uint8_t)'C'] = 1; bad[(uint8_t)'C'] = 0;
+        rank[(uint8_t)'G'] = 2; bad[(uint8_t)'G'] = 0;
+        rank[(uint8_t)'T'] = 3; bad[(uint8_t)'T'] = 0;
+        init = true;
+    }
+    if (nthreads <= 0) nthreads = hw_threads();
+    std::vector<std::array<uint32_t, 256>> part_b(nthreads);
+    for (auto& a : part_b) a.fill(0);
+    std::atomic<int> any_bad{0};
+    parallel_ranges(b, nthreads, [&](int64_t lo, int64_t hi, int t) {
+        uint32_t* hb = part_b[t].data();
+        int badrow = 0;
+        for (int64_t i = lo; i < hi; ++i) {
+            uint32_t* o = words_out + i * words;
+            uint32_t acc = 0;
+            int nb = 0;
+            int64_t w = 0;
+            auto push = [&](const uint8_t* p, int64_t n) {
+                for (int64_t k = 0; k < n; ++k) {
+                    acc = (acc << 2) | rank[p[k]];
+                    badrow |= bad[p[k]];
+                    if (++nb == 16) {
+                        if (w < words) o[w] = acc;
+                        ++w;
+                        acc = 0;
+                        nb = 0;
+                    }
+                }
+            };
+            push(d1 + seq_off1[i], seq_len1[i]);
+            push(d2 + seq_off2[i], seq_len2[i]);
+            if (nb) {
+                acc <<= 2 * (16 - nb);
+                if (w < words) o[w] = acc;
+                ++w;
+            }
+            for (; w < words; ++w) o[w] = 0;
+            uint32_t s = 0;
+            const uint8_t* q1 = d1 + qual_off1[i];
+            for (int64_t k = 0; k < qual_len1[i]; ++k) s += q1[k];
+            const uint8_t* q2 = d2 + qual_off2[i];
+            for (int64_t k = 0; k < qual_len2[i]; ++k) s += q2[k];
+            sumq[i] = s;
+            ++hb[words ? (o[0] >> 24) : 0];
+        }
+        if (badrow) any_bad.store(1, std::memory_order_relaxed);
+    });
+    for (int t = 0; t < nthreads; ++t)
+        for (int j = 0; j < 256; ++j) bucket_hist[j] += part_b[t][j];
+    return any_bad.load();
+}
+
 // Trim text assembly straight from the raw buffer:
 // record i = name\n seq[s:s+cl)\n +\n qual[s:s+cl)\n with
 // cl = clamp(min(seq_len, e) - s, 0, ...). Bytes the quality line does not

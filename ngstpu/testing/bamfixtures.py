@@ -121,6 +121,120 @@ def random_bam(path: str, refs: list[tuple[str, int]], n_reads: int,
     make_bam(path, refs, recs)
 
 
+def _reg2bin_vec(beg: np.ndarray, end: np.ndarray) -> np.ndarray:
+    """Vectorized reg2bin (same magic-number ladder as reg2bin above)."""
+    e = end - 1
+    out = np.zeros(len(beg), np.int64)
+    done = np.zeros(len(beg), bool)
+    for shift, base in ((14, ((1 << 15) - 1) // 7), (17, ((1 << 12) - 1) // 7),
+                        (20, ((1 << 9) - 1) // 7), (23, ((1 << 6) - 1) // 7),
+                        (26, ((1 << 3) - 1) // 7)):
+        hit = ~done & ((beg >> shift) == (e >> shift))
+        out[hit] = base + (beg[hit] >> shift)
+        done |= hit
+    return out
+
+
+def random_bam_fast(path: str, refs: list[tuple[str, int]], n_reads: int,
+                    seed: int = 0, read_len: int = 100,
+                    mix_frac: float = 0.3, flag_frac: float = 0.1) -> None:
+    """Vectorized coordinate-sorted random BAM for WGS-scale fixtures.
+
+    Same record shapes as random_bam (flag mix, M-only and M/D/M cigars)
+    but assembled with numpy column writes — ~1000x faster than the
+    per-read encode_record loop, practical at 10M+ reads x Gbp genomes.
+    """
+    rng = np.random.default_rng(seed)
+    L = int(read_len)
+    n_refs = len(refs)
+    ref_lens = np.array([l for _, l in refs], np.int64)
+
+    tid = rng.integers(0, n_refs, n_reads).astype(np.int64)
+    span = np.maximum(ref_lens[tid] - L - 64, 1)
+    pos = (rng.random(n_reads) * span).astype(np.int64)
+    order = np.lexsort((pos, tid))
+    tid, pos = tid[order], pos[order]
+
+    is_mix = rng.random(n_reads) < mix_frac
+    a_op = rng.integers(10, max(L - 20, 11), n_reads)
+    d_op = rng.integers(1, 31, n_reads)
+    flag = np.zeros(n_reads, np.int64)
+    f_hit = rng.random(n_reads) < flag_frac
+    flag[f_hit] = rng.choice([0x4, 0x100, 0x200, 0x400, 0x10],
+                             int(f_hit.sum()))
+
+    ref_end = pos + np.where(is_mix, L + d_op, L)
+    bins = _reg2bin_vec(pos, ref_end)
+    name_len = 10  # "r" + 8 digits + NUL
+    seq_b = (L + 1) // 2
+    fixed = 32 + name_len + seq_b + L  # sans cigar, sans block_size field
+    n_ops = np.where(is_mix, 3, 1)
+    rec_size = 4 + fixed + 4 * n_ops
+    starts = np.zeros(n_reads, np.int64)
+    np.cumsum(rec_size[:-1], out=starts[1:])
+    total = int(starts[-1] + rec_size[-1])
+    out = np.zeros(total, np.uint8)
+
+    def put_i32(col_off: np.ndarray, vals: np.ndarray) -> None:
+        v = vals.astype("<i4").view(np.uint8).reshape(-1, 4)
+        for b in range(4):
+            out[col_off + b] = v[:, b]
+
+    def put_u16(col_off: np.ndarray, vals: np.ndarray) -> None:
+        v = vals.astype("<u2").view(np.uint8).reshape(-1, 2)
+        for b in range(2):
+            out[col_off + b] = v[:, b]
+
+    put_i32(starts, rec_size - 4)          # block_size
+    put_i32(starts + 4, tid)
+    put_i32(starts + 8, pos)
+    out[starts + 12] = name_len
+    out[starts + 13] = 60                  # mapq
+    put_u16(starts + 14, bins)
+    put_u16(starts + 16, n_ops)
+    put_u16(starts + 18, flag)
+    put_i32(starts + 20, np.full(n_reads, L))
+    put_i32(starts + 24, np.full(n_reads, -1))   # next_refID
+    put_i32(starts + 28, np.full(n_reads, -1))   # next_pos
+    put_i32(starts + 32, np.zeros(n_reads))      # tlen
+    # name "r%08d" by sorted ordinal
+    idx = np.arange(n_reads, dtype=np.int64)
+    out[starts + 36] = ord("r")
+    for k in range(8):
+        out[starts + 37 + k] = (idx // 10 ** (7 - k)) % 10 + 48
+    # cigar
+    c0 = starts + 36 + name_len
+    m1 = ~is_mix
+    put_i32_at = put_i32  # alias for clarity
+    if m1.any():
+        put_i32_at(c0[m1], np.full(int(m1.sum()), (L << 4) | 0))
+    if is_mix.any():
+        am, dm = a_op[is_mix], d_op[is_mix]
+        cm = c0[is_mix]
+        put_i32_at(cm, (am << 4) | 0)
+        put_i32_at(cm + 4, (dm << 4) | 2)
+        put_i32_at(cm + 8, ((L - am) << 4) | 0)
+    # seq (4-bit codes) + qual, random
+    s0 = c0 + 4 * n_ops
+    lut = np.array([1, 2, 4, 8], np.uint8)  # A C G T
+    codes = lut[rng.integers(0, 4, (n_reads, L)).astype(np.int8)]
+    packed = (codes[:, 0::2] << 4)
+    packed[:, : L // 2] |= codes[:, 1::2]
+    for b in range(seq_b):
+        out[s0 + b] = packed[:, b]
+    qual = rng.integers(20, 41, (n_reads, L)).astype(np.uint8)
+    q0 = s0 + seq_b
+    for b in range(L):
+        out[q0 + b] = qual[:, b]
+
+    sam_text = "@HD\tVN:1.0\tSO:coordinate\n" + "".join(
+        f"@SQ\tSN:{n}\tLN:{l}\n" for n, l in refs)
+    header = BamHeader(text=sam_text.encode(),
+                       ref_names=[n for n, _ in refs],
+                       ref_lens=[int(l) for _, l in refs])
+    write_bam(path, header, out.tobytes())
+
+
 def index_bam(path: str) -> bool:
     from .oracles import samtools_exe
 

@@ -132,8 +132,9 @@ def _run_se_fast(read1: str, outfile: str, timer: StageTimer) -> bool:
     verdict = link_verdict()
     if verdict is None:
         verdict = probe_link(words)
-    gen = (_sort_host(ix, words, sumq, const_len) if verdict == "host"
-           else _sort_device(ix, words, sumq, bucket, const_len, W))
+    gen = (_sort_host(words, ix.seq_len, sumq, const_len)
+           if verdict == "host"
+           else _sort_device(words, ix.seq_len, sumq, bucket, const_len, W))
     n_groups = 0
     with open(with_suffix(outfile, "_uniq.fq"), "wb", buffering=0) as f1, \
             open(with_suffix(outfile, "_sortKeyUniq.fq"), "wb",
@@ -204,8 +205,84 @@ def run_se(read1: str, outfile: str, timer: StageTimer,
         out2.close()
 
 
+def _run_pe_fast(read1: str, read2: str, outfile: str,
+                 timer: StageTimer) -> bool:
+    """Offset-indexed PE dedup: mmap + index both mates, ONE fused native
+    pass packs seq1||seq2 into 2-bit sort keys (reference
+    gzfastq_uniq.c:212-216's sds key + sumQ), placement-aware sort, then
+    both _1_uniq/_2_uniq emitted straight from each mate's raw bytes (the
+    representative row's mates ARE the key split of gzfastq_uniq.c:336,345).
+    Returns False when the fast path does not apply."""
+    from ..io.fastindex import fused_pair_stats, index_fastq, uniq_text
+    from ..utils.bufpool import get_buffer, get_matrix
+    from ..utils.linkprobe import link_verdict, probe_link
+    from .pipeline import (CHUNK_RECORDS, _RingWriter, _sort_device,
+                           _sort_host)
+
+    if not outfile or outfile.startswith("-"):
+        return False
+    ix1 = index_fastq(read1, pool="uniq.ix1")
+    if ix1 is None or ix1.n == 0:
+        return False
+    ix2 = index_fastq(read2, pool="uniq.ix2")
+    if ix2 is None or ix2.n != ix1.n:
+        return False  # mismatched pair counts: generic path's semantics
+    B = ix1.n
+    lmax = int(ix1.seq_len.max()) + int(ix2.seq_len.max())
+    W = max(1, -(-lmax // 16))
+    words = get_matrix("pipe.words", B, W, np.uint32)
+    sumq = get_buffer("pipe.sumq", 4 * B, np.uint32)
+    bucket = np.zeros(256, np.uint32)
+    for lo in range(0, B, CHUNK_RECORDS):
+        hi = min(lo + CHUNK_RECORDS, B)
+        if not fused_pair_stats(ix1, ix2, lo, hi, W, words[lo:hi],
+                                sumq[lo:hi], bucket):
+            return False  # non-ACGT: generic path handles wide alphabets
+    timer.log("Finished load hash at %.3f s\n")
+    key_lens = (ix1.seq_len.astype(np.int64)
+                + ix2.seq_len.astype(np.int64)).astype(np.int32)
+    const_len = int(key_lens.min()) == int(key_lens.max()) if B else True
+    verdict = link_verdict()
+    if verdict is None:
+        verdict = probe_link(words)
+    gen = (_sort_host(words, key_lens, sumq, const_len)
+           if verdict == "host"
+           else _sort_device(words, key_lens, sumq, bucket, const_len, W))
+    n_groups = 0
+    with open(with_suffix(outfile, "_1_uniq.fq"), "wb", buffering=0) as f1, \
+            open(with_suffix(outfile, "_2_uniq.fq"), "wb",
+                 buffering=0) as f2:
+        w1 = _RingWriter(f1, ["uniq.emit1a", "uniq.emit1b"])
+        w2 = _RingWriter(f2, ["uniq.emit2a", "uniq.emit2b"])
+        try:
+            for rep, counts in gen:
+                n_groups += len(rep)
+                if len(rep) == 0:
+                    continue
+                name = w1.acquire()
+                view, total = uniq_text(ix1, rep, counts, name)
+                w1.submit(name, view, total)
+                name = w2.acquire()
+                view, total = uniq_text(ix2, rep, counts, name)
+                w2.submit(name, view, total)
+        finally:
+            try:
+                w1.close()
+            finally:
+                w2.close()
+    sys.stderr.write(
+        f"unique reads number = {n_groups}({n_groups} / {B} = "
+        f"{100.0 * n_groups / B:.3f}%)\n")
+    return True
+
+
 def run_pe(read1: str, read2: str, outfile: str, timer: StageTimer,
            mesh_n: int = 0) -> None:
+    import os
+
+    if mesh_n <= 1 and not os.environ.get("NGSTPU_NO_FASTPATH") \
+            and _run_pe_fast(read1, read2, outfile, timer):
+        return
     b1 = read_fastq_file(read1)
     b2 = read_fastq_file(read2)
     if b1.n != b2.n:

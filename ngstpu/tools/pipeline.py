@@ -203,10 +203,11 @@ def run_fast(ix, infile: str, prefix: str, start: int, end: int,
         if verdict is None:
             verdict = probe_link(words_all)
         if verdict == "host":
-            rep_groups = _sort_host(ix, words_all, sumq_all, const_len)
+            rep_groups = _sort_host(words_all, ix.seq_len, sumq_all,
+                                    const_len)
         else:
-            rep_groups = _sort_device(ix, words_all, sumq_all, bucket,
-                                      const_len, W)
+            rep_groups = _sort_device(words_all, ix.seq_len, sumq_all,
+                                      bucket, const_len, W)
         timer.checkpoint("dispatch")
 
         # stream the emit: format/write group block k while block k+1 is
@@ -240,8 +241,8 @@ def run_fast(ix, infile: str, prefix: str, start: int, end: int,
     return dict(n=B, n_groups=n_groups, stages=dict(timer.stages))
 
 
-def _sort_host(ix, words_all: np.ndarray, sumq_all: np.ndarray,
-               const_len: bool):
+def _sort_host(words_all: np.ndarray, key_lens: np.ndarray,
+               sumq_all: np.ndarray, const_len: bool):
     """Host placement of the dedup sort (thin accelerator link): ONE native
     call fuses the bucketed parallel sort with group/representative/count
     extraction (each bucket's groups are scanned while its rows are still
@@ -251,12 +252,12 @@ def _sort_host(ix, words_all: np.ndarray, sumq_all: np.ndarray,
     from ..io.native import get_lib
     from ..utils.bufpool import get_buffer
 
-    B = ix.n
+    B = len(words_all)
     lib = get_lib()
     perm = get_buffer("pipe.perm", 4 * B, np.int32)[:B]
     rep = get_buffer("pipe.rep", 8 * B, np.int64)[:B]
     counts = get_buffer("pipe.cnt", 8 * B, np.int64)[:B]
-    lens = np.ascontiguousarray(ix.seq_len, np.int32)
+    lens = np.ascontiguousarray(key_lens, np.int32)
     g = lib.ngs_dedup_groups_host(
         words_all, lens.ctypes.data_as(ctypes.c_void_p), sumq_all,
         0 if const_len else 1, B, words_all.shape[1], perm, rep, counts, 0)
@@ -266,8 +267,9 @@ def _sort_host(ix, words_all: np.ndarray, sumq_all: np.ndarray,
         yield rep[lo:hi], counts[lo:hi]
 
 
-def _sort_device(ix, words_all: np.ndarray, sumq_all: np.ndarray,
-                 bucket: np.ndarray, const_len: bool, W: int):
+def _sort_device(words_all: np.ndarray, key_lens: np.ndarray,
+                 sumq_all: np.ndarray, bucket: np.ndarray, const_len: bool,
+                 W: int):
     """Device placement: partition rows by leading packed byte (prefix
     order == sdscmp order on the 2-bit alphabet), dispatch one LSD sort per
     partition, and yield each partition's groups as its results land — the
@@ -275,7 +277,7 @@ def _sort_device(ix, words_all: np.ndarray, sumq_all: np.ndarray,
     from ..ops.sortengine import rep_counts_host, sort_partition
     from ..utils.bufpool import get_buffer, get_matrix
 
-    B = ix.n
+    B = len(words_all)
     bounds = _partition_bounds(bucket, N_PARTS)
     top = words_all[:, 0] >> np.uint32(24) if B else np.zeros(0, np.uint32)
     part = np.searchsorted(bounds, top, side="right")
@@ -295,7 +297,8 @@ def _sort_device(ix, words_all: np.ndarray, sumq_all: np.ndarray,
             l_dev = jnp.zeros((cap,), jnp.int32)
         else:
             lstage = get_buffer(f"pipe.lens{p}", 4 * cap, np.int32)
-            np.take(ix.seq_len, idx_p, out=lstage[:n_p])
+            np.take(np.asarray(key_lens, np.int32), idx_p,
+                    out=lstage[:n_p])
             if cap > n_p:
                 lstage[n_p:] = 0
             l_dev = jnp.asarray(lstage)

@@ -150,3 +150,94 @@ def test_rep_counts_host_strict_replacement():
     rep, counts = rep_counts_host(perm, is_head, 4, sumq)
     assert counts.tolist() == [4]
     assert rep.tolist() == [1]  # first of the two max-sumq rows
+
+
+def test_dedup_groups_host_matches_rep_counts():
+    """ngs_dedup_groups_host (fused sort+group extraction) vs the
+    ngs_dedup_sort_host + rep_counts_host composition."""
+    import ctypes
+
+    from ngstpu.io.native import get_lib
+    from ngstpu.ops.sortengine import rep_counts_host
+
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("no native lib")
+    rng = np.random.default_rng(9)
+    for use_len in (0, 1):
+        B, W = 4000, 3
+        words = np.ascontiguousarray(
+            rng.integers(0, 1 << 7, (B, W)).astype(np.uint32))
+        lens = rng.integers(10, 14, B).astype(np.int32)
+        sumq = rng.integers(0, 500, B).astype(np.uint32)
+        perm = np.empty(B, np.int32)
+        is_head = np.empty(B, np.uint8)
+        lib.ngs_dedup_sort_host(words,
+                                lens.ctypes.data_as(ctypes.c_void_p),
+                                use_len, B, W, perm, is_head, 0)
+        exp_rep, exp_cnt = rep_counts_host(perm, is_head.view(bool), B, sumq)
+        perm2 = np.empty(B, np.int32)
+        rep = np.empty(B, np.int64)
+        counts = np.empty(B, np.int64)
+        g = lib.ngs_dedup_groups_host(
+            words, lens.ctypes.data_as(ctypes.c_void_p), sumq, use_len,
+            B, W, perm2, rep, counts, 0)
+        assert g == len(exp_rep)
+        np.testing.assert_array_equal(rep[:g], exp_rep)
+        np.testing.assert_array_equal(counts[:g], exp_cnt)
+
+
+def test_uniq_pe_fast_path_matches_generic(tmp_path, monkeypatch):
+    """PE dedup through the offset-indexed fast path: (a) the fast path is
+    actually taken on plain ACGT files, (b) outputs are byte-identical to
+    the generic padded-batch path."""
+    from ngstpu.testing.fixtures import random_fastq_pair
+    from ngstpu.tools import gzfastq_uniq as gu
+    from ngstpu.utils.timing import StageTimer
+
+    r1, r2 = random_fastq_pair(400, read_len=60, seed=77)
+
+    def dup(data, k):
+        recs = data.split(b"\n")
+        recs = [b"\n".join(recs[i:i + 4]) for i in range(0, len(recs) - 1, 4)]
+        return b"\n".join(recs + recs[:k]) + b"\n"
+
+    p1, p2 = tmp_path / "r1.fq", tmp_path / "r2.fq"
+    p1.write_bytes(dup(r1, 150))
+    p2.write_bytes(dup(r2, 150))
+    taken = gu._run_pe_fast(str(p1), str(p2), str(tmp_path / "fast"),
+                            StageTimer())
+    assert taken, "PE fast path must apply to plain ACGT files"
+    monkeypatch.setenv("NGSTPU_NO_FASTPATH", "1")
+    gu.run_pe(str(p1), str(p2), str(tmp_path / "gen"), StageTimer())
+    for mate in ("_1_uniq.fq", "_2_uniq.fq"):
+        assert (tmp_path / ("fast" + mate)).read_bytes() == \
+            (tmp_path / ("gen" + mate)).read_bytes(), mate
+
+
+def test_uniq_pe_fast_rep_selection(tmp_path):
+    """PE representative = first occurrence achieving the max total quality
+    sum across BOTH mates (reference gzfastq_uniq.c:215-229)."""
+    from ngstpu.tools import gzfastq_uniq as gu
+    from ngstpu.utils.timing import StageTimer
+
+    def rec(name, seq, qual):
+        return f"@{name}\n{seq}\n+\n{qual}\n".encode()
+
+    seq = "ACGTACGT"
+    # pair key identical across 3 occurrences; occ2 has the best total sumQ
+    p1 = (rec("a 1", seq, "IIIIIIII") + rec("b 1", seq, "JJJJJJJJ")
+          + rec("c 1", seq, "JJJJJJJJ"))
+    p2 = (rec("a 2", "TTTTAAAA", "IIIIIIII") + rec("b 2", "TTTTAAAA",
+                                                   "JJJJJJJJ")
+          + rec("c 2", "TTTTAAAA", "IIIIIIII"))
+    f1, f2 = tmp_path / "m1.fq", tmp_path / "m2.fq"
+    f1.write_bytes(p1)
+    f2.write_bytes(p2)
+    taken = gu._run_pe_fast(str(f1), str(f2), str(tmp_path / "o"),
+                            StageTimer())
+    assert taken
+    u1 = (tmp_path / "o_1_uniq.fq").read_bytes()
+    u2 = (tmp_path / "o_2_uniq.fq").read_bytes()
+    assert u1 == b"@b 1\t3\nACGTACGT\n+\nJJJJJJJJ\n"
+    assert u2 == b"@b 2\t3\nTTTTAAAA\n+\nJJJJJJJJ\n"
