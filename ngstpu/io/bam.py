@@ -253,7 +253,8 @@ class DensePileupUnsupported(ValueError):
 
 
 def stream_depth_dense(path: str, flag_mask: int,
-                       chunk_bytes: int = 32 << 20):
+                       chunk_bytes: int = 32 << 20,
+                       recycle: bool = False):
     """Fused dense pileup over a whole BAM (the bam2depth fast path).
 
     Decodes in O(chunk) BGZF batches (like BamStream) but instead of
@@ -270,19 +271,49 @@ def stream_depth_dense(path: str, flag_mask: int,
     stream_chrom_events, coordinate-grouped inputs release each
     chromosome's array as soon as the stream moves past its tid (working
     set = largest touched chromosome); interleaved tids accumulate until
-    EOF with identical outputs.
+    EOF with identical outputs. NOTE (matches the sparse path): inputs
+    must be coordinate-GROUPED for correct per-chromosome output — a
+    record whose tid reappears after the stream already moved past it is
+    dropped from the (already-emitted) chromosome on both paths.
+
+    recycle=True returns each yielded delta array to an internal free
+    list when the NEXT item is pulled — the working set becomes ~one
+    chromosome-sized buffer instead of a fresh page-faulting allocation
+    per chromosome (big WGS win on slow-fault VMs). CONTRACT: the
+    consumer must (a) be done with an item before advancing and (b) have
+    restored the array to all-zero by then — depth_emit_dense's
+    zero_after=True does both in its single read pass, so no per-chrom
+    memset is ever paid. Tests that collect arrays keep the default False.
     """
     from .native import get_lib
 
     lib = get_lib()
     if lib is None:
         return None
-    stream = BamStream(path, chunk_bytes)
-    header = stream.header
+    from .bgzf import PooledInflater
+
+    inf = PooledInflater(path, chunk_bytes, pool="bamdense.chunk")
+    buf = b""
+    while True:
+        if len(buf) >= 4 and buf[:4] != BAM_MAGIC:
+            raise ValueError("not a BAM file")
+        try:
+            header, body_off = parse_header(buf)
+            break
+        except (ValueError, IndexError, struct.error):
+            nxt = inf.next_chunk(b"")
+            if nxt is None:
+                raise ValueError("truncated BAM header")
+            buf += nxt.tobytes()
+    initial_carry = buf[body_off:]
     n_refs = header.n_refs
     ref_lens = header.ref_lens
 
-    SPILL_CAP = 4096
+    # sized so a chunk that bulk-enters a brand-new chromosome (every
+    # chrom boundary on WGS input — up to ~chunk_records M-runs) still
+    # completes on the single fast-scatter walk; the undo+handshake path
+    # is then reserved for pathological files. 24MB of spill scratch.
+    SPILL_CAP = 1 << 20
 
     def gen():
         arrays: list = [None] * n_refs
@@ -294,11 +325,28 @@ def stream_depth_dense(path: str, flag_mask: int,
         state = np.array([1, -1, 0], np.int32)
         emitted = 0
         empty = np.zeros(1, np.int32)
+        free_list: list = []
 
         def grow(t, need):
             need = max(int(need), int(ref_lens[t]) + 1)
+            # corrupt coordinates far past the declared reference end would
+            # force an absurd allocation here — surface as unsupported so
+            # the caller falls back to the sparse event path, which handles
+            # them in O(events) memory (advisor finding, round 2)
+            if need > int(ref_lens[t]) + (4 << 20) + 1:
+                raise DensePileupUnsupported(
+                    "alignment ends implausibly far past the reference end")
             if arrays[t] is None:
-                arrays[t] = np.zeros(need, np.int32)
+                # recycled buffers come back all-zero already: the recycle
+                # contract requires the consumer to restore zeros while it
+                # reads (depth_emit_dense zero_after=True does it in the
+                # same pass), so no 400MB memset per chromosome here
+                for k, a in enumerate(free_list):
+                    if len(a) >= need:
+                        arrays[t] = free_list.pop(k)
+                        break
+                else:
+                    arrays[t] = np.zeros(need, np.int32)
             elif len(arrays[t]) < need:
                 grown = np.zeros(need, np.int32)
                 grown[:len(arrays[t])] = arrays[t]
@@ -308,14 +356,13 @@ def stream_depth_dense(path: str, flag_mask: int,
             ptrs[t] = arrays[t].ctypes.data
             cur_lens[t] = len(arrays[t])
 
-        # small genomes: allocate every array upfront so the common case
-        # runs in fast mode — a single scatter pass per chunk, no
-        # validation pass and no -2 handshake re-walks; big genomes stay
-        # lazy for bounded RSS
+        # small genomes: allocate every array upfront so no chunk ever
+        # pays the undo+handshake re-walks; big (WGS) genomes stay lazy
+        # for bounded RSS — the spill-scatter handles them with one
+        # handshake per chromosome entered
         prealloc_max = int(os.environ.get("NGSTPU_DENSE_PREALLOC_MAX",
                                           64 << 20))  # elements (x4 bytes)
-        fast = sum(ref_lens) + n_refs <= prealloc_max
-        if fast:
+        if sum(ref_lens) + n_refs <= prealloc_max:
             for t in range(n_refs):
                 grow(t, 0)
 
@@ -327,53 +374,78 @@ def stream_depth_dense(path: str, flag_mask: int,
             needed[t] = 0
             return (a if a is not None else empty), int(ev_counts[t])
 
-        import itertools
-
-        carry = stream._carry
-        stream._carry = b""
         # NOTE: no producer-thread prefetch here — inflate and scan are
         # each internally multithreaded, so on a small host alternating
         # them at full width beats oversubscribed overlap (measured).
-        # The b"" sentinel scans whatever carry remains after the last
-        # inflated batch (including the whole-file-in-header-batch case).
-        for data in itertools.chain(stream._gen, (b"",)):
-            if not data and not carry:
-                continue
-            body_bytes = carry + data if carry else data
-            body = np.frombuffer(body_bytes, dtype=np.uint8)
-            consumed = -2
-            if fast:
-                state[2] = 1
-                needed[0] = SPILL_CAP
-                consumed = lib.ngs_bam_depth_scan(
+        # PooledInflater hands back carry ++ inflated-batch views over one
+        # pooled buffer: no whole-chunk copies, no cross-run page faults.
+        carry = np.frombuffer(initial_carry, np.uint8)
+        final = False
+        while True:
+            body = inf.next_chunk(carry)
+            if body is None:
+                # trailing records that fit entirely in the last chunk's
+                # carry (including the whole-file-in-header-batch case)
+                body = carry
+                final = True
+            if len(body) == 0 and final:
+                carry = body
+                break
+            # every scan call re-walks this chunk's records from the top,
+            # so the monotone/last-tid tracking must restart from the
+            # pre-chunk snapshot on EVERY call — otherwise a handshake
+            # retry sees the chunk's first tid "below" its own last tid
+            # and falsely clears the monotone flag, which disables early
+            # per-chromosome emission for the rest of the stream
+            saved_mono, saved_tid = int(state[0]), int(state[1])
+
+            def scan_chunk():
+                state[0], state[1] = saved_mono, saved_tid
+                return lib.ngs_bam_depth_scan(
                     body, len(body), ptrs, cur_lens, n_refs, flag_mask,
                     needed, ev_counts, state, 0)
-                if consumed == -3:
-                    # spill capacity exceeded (pathological file): undo the
-                    # fast pass exactly, then redo via the handshake below
-                    state[2] = -1
-                    lib.ngs_bam_depth_scan(
-                        body, len(body), ptrs, cur_lens, n_refs, flag_mask,
-                        needed, ev_counts, state, 0)
-                    needed[:n_refs] = 0
-                    consumed = -2
-                elif needed[0]:
-                    # rare out-of-range runs, applied here after growing
-                    n_sp = int(needed[0])
-                    trips = needed[1:1 + 3 * n_sp].reshape(-1, 3)
-                    if (trips[:, 1] < 0).any():
-                        raise DensePileupUnsupported(
-                            "alignment start below position 0")
-                    for t, s, ln in trips.tolist():
-                        grow(t, s + ln + 1)
-                        arrays[t][s] += 1
-                        arrays[t][s + ln] -= 1
-                    needed[0] = 0
+
+            # on sorted input the next chunk can only enter the next one
+            # or two tids: pre-grow them so chromosome-boundary chunks
+            # scatter natively with zero spills (np.zeros is lazy — an
+            # unused speculative array costs nothing and is recycled)
+            if state[0]:
+                for t in range(max(int(state[1]), 0),
+                               min(int(state[1]) + 3, n_refs)):
+                    if arrays[t] is None and emitted <= t:
+                        grow(t, 0)
+            # fast spill-scatter first, ALWAYS: chunks whose touched tids
+            # are already allocated scatter in one walk; a chunk that
+            # bulk-enters an unallocated tid (> SPILL_CAP runs) undoes
+            # itself exactly and redoes via the allocation handshake —
+            # only pathological files take it now
+            state[2] = 1
+            needed[0] = SPILL_CAP
+            consumed = scan_chunk()
+            if consumed == -3:
+                state[2] = -1
+                scan_chunk()  # exact undo of the applied in-range runs
+                needed[:n_refs] = 0
+                consumed = -2
+            elif needed[0]:
+                # out-of-range runs (chiefly: the bulk entry into a not-
+                # yet-allocated chromosome), applied vectorized after
+                # growing — np.add.at per touched tid, no Python per-run
+                n_sp = int(needed[0])
+                trips = needed[1:1 + 3 * n_sp].reshape(-1, 3)
+                if (trips[:, 1] < 0).any():
+                    raise DensePileupUnsupported(
+                        "alignment start below position 0")
+                for t in np.unique(trips[:, 0]):
+                    sel = trips[trips[:, 0] == t]
+                    s, ln = sel[:, 1], sel[:, 2]
+                    grow(int(t), int((s + ln).max()) + 1)
+                    np.add.at(arrays[int(t)], s, 1)
+                    np.subtract.at(arrays[int(t)], s + ln, 1)
+                needed[0] = 0
             state[2] = 0
             while consumed == -2:
-                consumed = lib.ngs_bam_depth_scan(
-                    body, len(body), ptrs, cur_lens, n_refs, flag_mask,
-                    needed, ev_counts, state, 0)
+                consumed = scan_chunk()
                 if consumed == -4:
                     raise DensePileupUnsupported(
                         "alignment start below position 0")
@@ -381,19 +453,28 @@ def stream_depth_dense(path: str, flag_mask: int,
                     # allocation handshake: grow what the chunk needs
                     for t in np.flatnonzero(needed[:n_refs]):
                         grow(int(t), needed[int(t)])
-            carry = body_bytes[consumed:]
+            carry = body[consumed:]
             if state[0]:  # monotone so far: tids below last_tid are final
                 while emitted < state[1] and emitted < n_refs:
-                    yield take(emitted)
+                    a, c = take(emitted)
                     emitted += 1
-        if carry:
+                    yield a, c
+                    if recycle and a is not empty:
+                        free_list.append(a)
+            if final:
+                break
+        inf.close()
+        if len(carry):
             # trailing bytes that never formed a complete record: reuse the
             # strict scan for the exact malformed-input diagnostics
-            scan_records(np.frombuffer(carry, dtype=np.uint8), strict=True)
+            scan_records(np.ascontiguousarray(carry), strict=True)
             raise ValueError("truncated BAM record at end of file")
         while emitted < n_refs:
-            yield take(emitted)
+            a, c = take(emitted)
             emitted += 1
+            yield a, c
+            if recycle and a is not empty:
+                free_list.append(a)
 
     return header, gen()
 

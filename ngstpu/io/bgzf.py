@@ -117,6 +117,76 @@ def iter_inflated(path: str, chunk_bytes: int = 32 << 20):
             raise ValueError("truncated BGZF block")
 
 
+class PooledInflater:
+    """Streaming BGZF inflate into ONE pooled buffer with zero whole-chunk
+    copies: each `next_chunk(carry)` copies the (small) unprocessed tail of
+    the previous inflated chunk to the buffer head and inflates the next
+    batch of blocks right after it. Compared to iter_inflated + bytes
+    concatenation this removes two full passes over the inflated stream
+    (the .tobytes() copy and the carry+data concat) and never re-faults
+    pages across chunks or runs — the decode half of what samtools'
+    bgzf_read buffer reuse does (reference klib bgzf.h:84-112), sized for
+    multi-GB WGS BAMs.
+
+    Requires the native library (callers gate on get_lib()).
+    """
+
+    def __init__(self, path: str, chunk_bytes: int = 32 << 20,
+                 pool: str = "bgzf.pooled"):
+        self._f = open(path, "rb")
+        self._chunk = chunk_bytes
+        self._pool = pool
+        self._ctail = b""   # compressed partial-block remainder
+        self._eof = False
+
+    def close(self) -> None:
+        self._f.close()
+
+    def next_chunk(self, carry) -> np.ndarray | None:
+        """Inflate the next compressed chunk; returns a uint8 view of
+        carry ++ inflated bytes (valid until the next call), or None at
+        EOF (with `carry` empty-checked by the caller). Raises ValueError
+        on a truncated trailing block."""
+        from ..utils.bufpool import get_buffer
+
+        lib = get_lib()
+        carry = bytes(carry)  # copy the small tail out of the live buffer
+        while True:
+            if self._eof:
+                if self._ctail:
+                    raise ValueError("truncated BGZF block")
+                return None
+            data = self._f.read(self._chunk)
+            if not data:
+                self._eof = True
+                continue
+            buf = self._ctail + data if self._ctail else data
+            starts, lens, isizes, consumed = _scan_blocks_ex(buf,
+                                                             partial=True)
+            self._ctail = buf[consumed:]
+            if len(self._ctail) > (1 << 16) + 18:
+                raise ValueError("truncated BGZF block")
+            if len(starts) == 0:
+                continue
+            nc = len(carry)
+            total = int(isizes.sum())
+            out = get_buffer(self._pool, nc + total)
+            if nc:
+                out[:nc] = np.frombuffer(carry, np.uint8)
+            out_offsets = np.empty(len(starts), np.int64)
+            out_offsets[0] = nc
+            np.cumsum(isizes[:-1], out=out_offsets[1:])
+            out_offsets[1:] += nc
+            out_sizes = np.empty(len(starts), np.int64)
+            rc = lib.ngs_gzip_decompress_blocks(
+                np.frombuffer(buf, np.uint8), np.ascontiguousarray(starts),
+                np.ascontiguousarray(lens), len(starts), out, out_offsets,
+                np.ascontiguousarray(isizes), out_sizes, 0)
+            if rc != 0 or not (out_sizes == isizes).all():
+                raise ValueError("corrupt BGZF block payload")
+            return out[:nc + total]
+
+
 def decompress_bgzf(data: bytes) -> bytes:
     """Whole-buffer BGZF -> plain bytes (parallel when native lib present)."""
     lib = get_lib()

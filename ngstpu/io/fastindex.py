@@ -42,22 +42,67 @@ class IndexedFastq:
         return len(self.seq_len)
 
 
-def _is_plain_file(path: str | None) -> bool:
+def _sniff(path: str | None) -> str | None:
+    """'plain' | 'gz' | None (stdin/empty/unreadable)."""
     if not path or path == "-":
-        return False
+        return None
     try:
         with open(path, "rb") as f:
             magic = f.read(2)
-        return magic != b"\x1f\x8b" and os.path.getsize(path) > 0
+        if os.path.getsize(path) == 0:
+            return None
+        return "gz" if magic == b"\x1f\x8b" else "plain"
     except OSError:
-        return False
+        return None
+
+
+def _is_plain_file(path: str | None) -> bool:
+    return _sniff(path) == "plain"
+
+
+def _inflate_gz(path: str, pool: str) -> np.ndarray | None:
+    """Whole-file gzip inflate into a pooled buffer (libdeflate walk over
+    all members, zlib fallback — ngsio.cpp ngs_gzip_decompress_blocks with
+    one block). Sizes the buffer from the trailing ISIZE word and grows on
+    a short fit (multi-member files under-report). Returns the inflated
+    uint8 view, or None when inflation fails (caller's generic gzip path
+    then surfaces the proper error). The role of the reference's gzdopen
+    transparency (IO_stream.h:122-136) for the offset-indexed fast path."""
+    from ..utils.bufpool import get_buffer
+
+    lib = get_lib()
+    raw = np.fromfile(path, np.uint8)
+    n = len(raw)
+    if n < 18:
+        return None
+    isize = int(raw[-4:].view(np.uint32)[0])
+    cap = max(isize, 4 * n, 1 << 20)
+    starts = np.zeros(1, np.int64)
+    lens_ = np.array([n], np.int64)
+    offs = np.zeros(1, np.int64)
+    sizes = np.zeros(1, np.int64)
+    # the native call cannot distinguish short-buffer from corrupt data, so
+    # retries are bounded: 4 doublings covers compression ratios to ~64x
+    # (FASTQ is typically 3-4x); corrupt inputs fail fast each attempt and
+    # then take the generic gzip path, which raises the precise error
+    for _ in range(4):
+        out = get_buffer(pool + ".gzdata", cap)
+        caps = np.array([cap], np.int64)
+        rc = lib.ngs_gzip_decompress_blocks(raw, starts, lens_, 1, out,
+                                            offs, caps, sizes, 0)
+        if rc == 0:
+            return out[:int(sizes[0])]
+        cap *= 2
+    return None
 
 
 def index_fastq(path: str | None,
                 pool: str | None = None) -> IndexedFastq | None:
-    """Index a plain FASTQ file via mmap. Returns None when this fast path
-    does not apply (stdin, gzip, empty file, no native lib, or a missing
-    trailing newline) — callers fall back to the generic reader.
+    """Index a FASTQ file: plain files via mmap, gzip files via a whole-
+    file libdeflate inflate into a pooled buffer (both then share the
+    offset-index machinery). Returns None when the fast path does not
+    apply (stdin, empty file, no native lib, a failed inflate, or a
+    missing trailing newline) — callers fall back to the generic reader.
 
     `pool`: optional bufpool name prefix for the six offset arrays —
     repeated same-process runs (benchmarks, the serve daemon) then reuse
@@ -68,22 +113,30 @@ def index_fastq(path: str | None,
     contract as the generic parser).
     """
     lib = get_lib()
-    if lib is None or not _is_plain_file(path):
+    kind = _sniff(path)
+    if lib is None or kind is None:
         return None
-    f = open(path, "rb")
-    try:
-        mm = mmap.mmap(f.fileno(), 0, prot=mmap.PROT_READ)
-    except ValueError:
-        f.close()
-        return None
-    finally:
-        f.close()
-    if hasattr(mm, "madvise"):
+    if kind == "gz":
+        # transparent gzip (reference IO_stream.h:122-136): inflate into a
+        # pooled buffer, then the identical offset-index machinery
+        data = _inflate_gz(path, pool if pool is not None else "gzix")
+        if data is None or len(data) == 0:
+            return None
+    else:
+        f = open(path, "rb")
         try:
-            mm.madvise(mmap.MADV_WILLNEED)
-        except (OSError, AttributeError):
-            pass
-    data = np.frombuffer(mm, dtype=np.uint8)
+            mm = mmap.mmap(f.fileno(), 0, prot=mmap.PROT_READ)
+        except ValueError:
+            f.close()
+            return None
+        finally:
+            f.close()
+        if hasattr(mm, "madvise"):
+            try:
+                mm.madvise(mmap.MADV_WILLNEED)
+            except (OSError, AttributeError):
+                pass
+        data = np.frombuffer(mm, dtype=np.uint8)
     if data[-1] != 0x0A:  # no trailing newline: generic path tolerates it
         return None
     t = lib.ngs_hw_threads()

@@ -182,7 +182,7 @@ def get_lib() -> ctypes.CDLL | None:
         lib.ngs_depth_emit.argtypes = [
             _p_i32, _i64, _p_u8, _i32, _i64,
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
-            _i64, _p_u8, _i64]
+            _i64, _p_u8, _i64, _int]
         lib.ngs_format_int3_rows.restype = _i64
         lib.ngs_format_int3_rows.argtypes = [_p_u8, _i32, _p_i64, _p_i64,
                                              _p_i64, _i64, _p_u8]
@@ -351,7 +351,7 @@ def format_int3_rows(prefix: bytes, a: np.ndarray, b: np.ndarray,
 
 
 def depth_emit_dense(delta: np.ndarray, ev_count: int, name: bytes,
-                     window: int, n_windows: int
+                     window: int, n_windows: int, zero_after: bool = False
                      ) -> tuple[bytes, np.ndarray] | None:
     """Dense delta array -> (bedGraph rows bytes, float64 window bins).
 
@@ -360,7 +360,9 @@ def depth_emit_dense(delta: np.ndarray, ev_count: int, name: bytes,
     depth > 0, and accumulate exact depth*bp overlap per window — the
     fused form of merged_intervals + format_int3_rows + depth_window_bins
     (reference bam2depth.c hash2BedGraph :203-236 / output_bins :238-246).
-    Returns None when the native library is unavailable.
+    zero_after=True restores delta to all-zero during the pass (recycled
+    stream_depth_dense buffers then skip the bulk memset). Returns None
+    when the native library is unavailable.
     """
     lib = get_lib()
     if lib is None:
@@ -372,7 +374,8 @@ def depth_emit_dense(delta: np.ndarray, ev_count: int, name: bytes,
     text = np.empty(cap, np.uint8)
     w = lib.ngs_depth_emit(np.ascontiguousarray(delta, np.int32), len(delta),
                            np.frombuffer(name, np.uint8), len(name),
-                           window, bins, n_windows, text, cap)
+                           window, bins, n_windows, text, cap,
+                           1 if zero_after else 0)
     if w < 0:  # cap bound above is a proof; this is defensive only
         raise ValueError("depth emit buffer overflow")
     return text[:w].tobytes(), bins

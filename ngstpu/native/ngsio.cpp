@@ -1686,14 +1686,19 @@ int64_t ngs_bam_depth_scan(const uint8_t* buf, int64_t n,
 // ops/bamops.depth_window_bins). Returns bytes written to text, or -1 if
 // cap could be exceeded (caller sizes cap from ev_counts: rows <=
 // 2*ev_counts+1). L1 is the delta array length (>= last event end + 1).
-int64_t ngs_depth_emit(const int32_t* delta, int64_t L1, const uint8_t* name,
+// zero_after != 0 restores every nonzero delta entry to 0 as it is read:
+// the array comes back all-zero from the emit for free (it reads every
+// entry anyway), so recycled dense buffers never need a bulk memset.
+int64_t ngs_depth_emit(int32_t* delta, int64_t L1, const uint8_t* name,
                        int32_t name_len, int64_t window, double* bins,
-                       int64_t n_windows, uint8_t* text, int64_t cap) {
+                       int64_t n_windows, uint8_t* text, int64_t cap,
+                       int zero_after) {
     uint8_t* o = text;
     uint8_t* const end = text + cap;
     int64_t depth = 0, i = 0;
     while (i < L1) {
         depth += delta[i];
+        if (zero_after) delta[i] = 0;
         int64_t j = i + 1;
         while (j < L1 && delta[j] == 0) ++j;
         if (depth > 0) {

@@ -38,15 +38,20 @@ def process_bam(path: str, index1: int, outfile: str, window: int,
     from ..io.bam import DensePileupUnsupported, stream_depth_dense
     from ..io.native import depth_emit_dense
 
-    dense = stream_depth_dense(path, DEF_MASK)
+    dense = stream_depth_dense(path, DEF_MASK, recycle=True)
     if dense is not None:
         # fast path: fused native dense pileup — per-chrom delta scatter
         # during the chunked decode, then one emit pass producing the
-        # bedGraph rows and the exact window bins together
+        # bedGraph rows and the exact window bins together.
+        # zero_after restores each recycled delta buffer during that same
+        # pass (no bulk re-zeroing); the 1-deep prefetch thread overlaps
+        # chrom k's emit pass with the decode of chrom k+1 — safe because
+        # the delta array is fully consumed inside the generator body
+        # before the item is handed over
         header, per_ref = dense
-        rows_and_bins = (
+        rows_and_bins = _prefetch1(
             depth_emit_dense(delta, evs, name.encode(), window,
-                             tlen // window + 1)
+                             tlen // window + 1, zero_after=True)
             for (name, tlen), (delta, evs) in zip(
                 zip(header.ref_names, header.ref_lens), per_ref))
         try:
@@ -72,6 +77,34 @@ def process_bam(path: str, index1: int, outfile: str, window: int,
                   window, wig, timer)
 
 
+def _prefetch1(gen):
+    """Pull items of `gen` one ahead on a worker thread: the producer's
+    next item (decode + emit pass of the next chromosome) computes while
+    the consumer writes the current one. Exceptions re-raise in order."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=1)
+    DONE = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(DONE)
+        except BaseException as e:  # noqa: BLE001 - relayed to consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is DONE:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def _emit_outputs(path, header, rows_and_bins, index1: int, outfile: str,
                   window: int, wig: bool, timer: StageTimer) -> None:
     bedgraph = open_text_output(
@@ -82,7 +115,35 @@ def _emit_outputs(path, header, rows_and_bins, index1: int, outfile: str,
         wig_out = open_text_output(with_suffix(outfile, f".{index1}.wig"))
         chr_out = open_text_output(
             with_suffix(outfile, f".{index1}.chromSize.txt"))
+    handles = (bedgraph, depth_out, wig_out, chr_out)
 
+    done_refs = [0]
+    try:
+        _emit_loop(header, rows_and_bins, bedgraph, depth_out, wig_out,
+                   chr_out, window, wig, timer, done_refs)
+    except DensePileupUnsupported:
+        # close the first attempt's handles explicitly so the sparse-path
+        # rerun reopens truncated files, never racing GC finalizers; a
+        # stdout stream cannot be truncated, so a mid-stream failure there
+        # must surface instead of double-emitting earlier chromosomes
+        for f in handles:
+            if f is not None and f is not sys.stdout:
+                f.close()
+        if done_refs[0] and any(f is sys.stdout for f in handles):
+            raise ValueError(
+                "corrupt BAM coordinates after partial stdout output; "
+                "rerun with -o FILE to allow the sparse-path retry")
+        raise
+    for f in handles:
+        if f is not None and f is not sys.stdout:
+            f.close()
+    sys.stderr.write(
+        f"Converted {path} to wig format at {timer.elapsed():.3f} s\n")
+
+
+def _emit_loop(header, rows_and_bins, bedgraph, depth_out, wig_out,
+               chr_out, window: int, wig: bool, timer: StageTimer,
+               done_refs: list) -> None:
     for (name, tlen), (rows_b, bins) in zip(
             zip(header.ref_names, header.ref_lens), rows_and_bins):
         n_windows = tlen // window + 1
@@ -107,12 +168,7 @@ def _emit_outputs(path, header, rows_and_bins, index1: int, outfile: str,
             chr_out.write(f"{name}\t{tlen}\n")
         timer.checkpoint(name)
         sys.stderr.write(f"{name} at {timer.elapsed():.3f} s\n")
-
-    for f in (bedgraph, depth_out, wig_out, chr_out):
-        if f is not None and f is not sys.stdout:
-            f.close()
-    sys.stderr.write(
-        f"Converted {path} to wig format at {timer.elapsed():.3f} s\n")
+        done_refs[0] += 1
 
 
 def main(argv: list[str]) -> int:

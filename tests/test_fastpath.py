@@ -66,13 +66,16 @@ def test_fastpath_falls_back_on_n_bases(tmp_path):
     _run_both(tmp_path, b"\n".join(lines))
 
 
-def test_fastpath_skips_gzip(tmp_path):
+def test_fastpath_gzip_applies(tmp_path):
+    """gzip inputs now take the fast path (inflate + same index); the
+    pipeline must still produce correct counts from .gz."""
     raw = random_fastq(300, read_len=50, seed=5, dup_frac=0.2)
     p = tmp_path / "in.fq.gz"
     p.write_bytes(gzip.compress(raw))
     from ngstpu.io.fastindex import index_fastq
 
-    assert index_fastq(str(p)) is None
+    ix = index_fastq(str(p), pool="t.skip")
+    assert ix is not None and ix.n == 300
     info = run(str(p), str(tmp_path / "gz"), 0, 30)
     assert info["n"] == 300
 
@@ -241,3 +244,50 @@ def test_uniq_pe_fast_rep_selection(tmp_path):
     u2 = (tmp_path / "o_2_uniq.fq").read_bytes()
     assert u1 == b"@b 1\t3\nACGTACGT\n+\nJJJJJJJJ\n"
     assert u2 == b"@b 2\t3\nTTTTAAAA\n+\nJJJJJJJJ\n"
+
+
+def test_index_fastq_gz_input(tmp_path):
+    """gzip inputs take the offset-indexed fast path (transparent gzdopen
+    of reference IO_stream.h:122-136): the index over the inflated bytes
+    must equal the plain-file index, and the composite pipeline must
+    produce byte-identical outputs from .fq and .fq.gz."""
+    from ngstpu.io.fastindex import index_fastq
+
+    data = random_fastq(1200, read_len=70, seed=33, dup_frac=0.4)
+    p = tmp_path / "in.fq"
+    pz = tmp_path / "in.fq.gz"
+    p.write_bytes(data)
+    pz.write_bytes(gzip.compress(data, mtime=0))
+    ix = index_fastq(str(p))
+    ixz = index_fastq(str(pz), pool="t.gz")
+    assert ixz is not None, "gz input must take the fast path"
+    assert ix.n == ixz.n
+    np.testing.assert_array_equal(ix.seq_len, ixz.seq_len)
+    np.testing.assert_array_equal(
+        ix.data[ix.seq_off[5]:ix.seq_off[5] + ix.seq_len[5]],
+        ixz.data[ixz.seq_off[5]:ixz.seq_off[5] + ixz.seq_len[5]])
+
+    run(str(p), str(tmp_path / "plain"), 0, 40)
+    run(str(pz), str(tmp_path / "gz"), 0, 40)
+    for s in (".trim.fastq", "_uniq.fq", "_sortKeyUniq.fq"):
+        assert (tmp_path / ("plain" + s)).read_bytes() == \
+            (tmp_path / ("gz" + s)).read_bytes(), s
+
+
+def test_index_fastq_gz_multimember_and_corrupt(tmp_path):
+    """Concatenated gzip members inflate as one logical stream; corrupt
+    gzip returns None (generic path surfaces the error)."""
+    from ngstpu.io.fastindex import index_fastq
+
+    d1 = random_fastq(300, read_len=50, seed=1)
+    d2 = random_fastq(200, read_len=50, seed=2)
+    pz = tmp_path / "mm.fq.gz"
+    pz.write_bytes(gzip.compress(d1, mtime=0) + gzip.compress(d2, mtime=0))
+    ix = index_fastq(str(pz), pool="t.mm")
+    assert ix is not None and ix.n == 500
+
+    bad = bytearray(gzip.compress(d1, mtime=0))
+    bad[len(bad) // 2] ^= 0xFF
+    pbad = tmp_path / "bad.fq.gz"
+    pbad.write_bytes(bytes(bad))
+    assert index_fastq(str(pbad), pool="t.bad") is None
