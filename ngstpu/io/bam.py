@@ -491,30 +491,35 @@ def read_bam_region(path: str, ref_name_or_tid, beg: int, end: int
     Returned records are the superset held by the overlapping chunks —
     callers apply the precise region/flag mask exactly as with a full scan.
     """
+    import mmap as _mmap
     import os
 
     from .bai import read_bai, region_voffsets
-    from .bgzf import _scan_blocks, decompress_block_range
+    from .bgzf import _scan_blocks_span, decompress_block_range
 
     bai_path = path + ".bai"
     if not os.path.exists(bai_path):
         return None
-    with open(path, "rb") as f:
-        raw = f.read()
-    starts, lens, isizes = _scan_blocks(raw)
+    f = open(path, "rb")
+    try:
+        raw = _mmap.mmap(f.fileno(), 0, prot=_mmap.PROT_READ)
+    finally:
+        f.close()
 
-    # decode the header prefix (usually one block) incrementally
-    n_hdr_blocks = 1
+    # decode the header prefix (usually one block) by walking blocks
+    # forward from offset 0 only as far as the header needs
+    hdr_stop = 0
     while True:
-        prefix = decompress_block_range(raw, starts, lens, isizes, 0,
-                                        n_hdr_blocks)
+        hs, hl, hi_ = _scan_blocks_span(raw, 0, hdr_stop)
+        prefix = decompress_block_range(raw, hs, hl, hi_, 0, len(hs))
         try:
             header, body_off = parse_header(prefix)
             break
         except (struct.error, IndexError, ValueError):
-            if n_hdr_blocks >= len(starts):
+            nxt = int(hs[-1] + hl[-1])
+            if nxt + 18 > len(raw):
                 raise
-            n_hdr_blocks += 1
+            hdr_stop = nxt
 
     tid = (header.ref_names.index(ref_name_or_tid)
            if isinstance(ref_name_or_tid, str) else int(ref_name_or_tid))
@@ -530,12 +535,17 @@ def read_bam_region(path: str, ref_name_or_tid, beg: int, end: int
     if window is None:
         return header, empty
     v_lo, v_hi = window
-    blk_lo = max(int(np.searchsorted(starts, v_lo >> 16, side="right")) - 1, 0)
-    blk_hi = int(np.searchsorted(starts, v_hi >> 16, side="right"))
-    if (v_hi & 0xFFFF) == 0:
-        blk_hi -= 1  # chunk ends exactly at a block boundary
-    blk_hi = min(max(blk_hi, blk_lo + 1), len(starts))
-    data = decompress_block_range(raw, starts, lens, isizes, blk_lo, blk_hi)
+    # the virtual offsets point straight at block starts: mmap + bounded
+    # header walk over [v_lo>>16, v_hi>>16] touches O(result) compressed
+    # bytes — never the rest of the file (bam_fetch seek behavior,
+    # reference bam2depth.c:121-130)
+    c_lo, c_hi = v_lo >> 16, v_hi >> 16
+    if c_lo >= len(raw) or c_hi >= len(raw) + 1:
+        raise ValueError("corrupt BAI: virtual offset beyond file end")
+    if (v_hi & 0xFFFF) == 0 and c_hi > c_lo:
+        c_hi -= 1  # chunk ends exactly at a block boundary
+    starts, lens, isizes = _scan_blocks_span(raw, c_lo, c_hi)
+    data = decompress_block_range(raw, starts, lens, isizes, 0, len(starts))
     intra = v_lo & 0xFFFF
     if intra > len(data):
         raise ValueError("corrupt BAI: virtual offset beyond block payload")

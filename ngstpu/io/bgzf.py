@@ -70,6 +70,43 @@ def _scan_blocks(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return starts, lens, isizes
 
 
+def _scan_blocks_span(data, off: int, last_start: int
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Walk BGZF headers from byte `off` (which must be a block start)
+    through the block starting at `last_start` inclusive — touching only
+    the compressed bytes of that span. The seek-then-bounded-scan the BAI
+    virtual offsets make possible (samtools' bam_fetch block skip,
+    reference bam2depth.c:121-130) instead of a whole-file block scan."""
+    starts, lens, isizes = [], [], []
+    o = off
+    n = len(data)
+    while o <= last_start and o + 18 <= n:
+        if data[o] != 0x1F or data[o + 1] != 0x8B:
+            raise ValueError("bad BGZF magic (corrupt virtual offset?)")
+        xlen = struct.unpack_from("<H", data, o + 10)[0]
+        if o + 12 + xlen > n:
+            raise ValueError("truncated BGZF header")
+        xo = o + 12
+        bsize = None
+        end_x = xo + xlen
+        while xo + 4 <= end_x:
+            si1, si2, slen = data[xo], data[xo + 1], \
+                struct.unpack_from("<H", data, xo + 2)[0]
+            if si1 == 0x42 and si2 == 0x43 and slen == 2:
+                bsize = struct.unpack_from("<H", data, xo + 4)[0] + 1
+            xo += 4 + slen
+        if bsize is None:
+            raise ValueError("BGZF block without BSIZE")
+        if o + bsize > n:
+            raise ValueError("truncated BGZF block")
+        starts.append(o)
+        lens.append(bsize)
+        isizes.append(struct.unpack_from("<I", data, o + bsize - 4)[0])
+        o += bsize
+    return (np.array(starts, np.int64), np.array(lens, np.int64),
+            np.array(isizes, np.int64))
+
+
 def _inflate_blocks(data: bytes, starts: np.ndarray, lens: np.ndarray,
                     isizes: np.ndarray) -> bytes:
     """Inflate a scanned block set (native parallel; zlib fallback)."""
