@@ -150,33 +150,46 @@ def kswr_second_best(row_max: np.ndarray, score: np.ndarray, te: np.ndarray,
     runs keeping each run's first strict maximum; the second best is the
     best entry whose target end falls outside te ± ceil(score/max_match)
     (ksw.c end of ksw_u8/ksw_i16). Returns (score2, te2) int arrays, -1
-    where unset."""
+    where unset.
+
+    Vectorized across the batch: one numpy pass over the T target rows.
+    The C "b array" compresses to chains — a qualifying row starts a chain
+    when the previous row was not the chain's stored max, and extends it
+    only by strict improvement (the stored-row contiguity quirk of the
+    reference code means a non-improving row is DISCARDED and breaks the
+    chain) — so each chain's final (max, row) is the only entry the window
+    filter ever sees, finalized here the moment the chain dies."""
     B, T = row_max.shape
+    rm = row_max.astype(np.int64)
+    keep = rm >= minsc
+    sc = score.astype(np.int64)
+    w = (sc + max_match - 1) // max_match
+    low = te.astype(np.int64) - w
+    high = te.astype(np.int64) + w
     score2 = np.full(B, -1, np.int64)
     te2 = np.full(B, -1, np.int64)
-    for b in range(B):
-        entries = []
-        for i in range(T):
-            m = int(row_max[b, i])
-            if m < minsc:
-                continue
-            # C quirk preserved: the contiguity check compares against the
-            # STORED row (the run max's row), so a run whose max came early
-            # splits into several entries (ksw.c "write the b array")
-            if not entries or entries[-1][1] + 1 != i:
-                entries.append((m, i))
-            elif entries[-1][0] < m:
-                entries[-1] = (m, i)
-        if int(score[b]) <= 0:
-            continue
-        w = (int(score[b]) + max_match - 1) // max_match
-        low, high = int(te[b]) - w, int(te[b]) + w
-        for m, e in entries:
-            if (e < low or e > high) and m > score2[b]:
-                score2[b], te2[b] = m, e
-        if score2[b] < 0:
-            score2[b] = 0  # kswr default score2=0 when tracking found none
-            te2[b] = -1
+    alive = np.zeros(B, bool)
+    cur_max = np.zeros(B, np.int64)
+    eligible = sc > 0
+
+    def finalize(dies, last_row):
+        sel = (dies & eligible & ((last_row < low) | (last_row > high))
+               & (cur_max > score2))
+        score2[sel] = cur_max[sel]
+        te2[sel] = last_row
+
+    for i in range(T):
+        m = rm[:, i]
+        improves = alive & keep[:, i] & (m > cur_max)
+        starts = ~alive & keep[:, i]
+        dies = alive & ~improves
+        finalize(dies, i - 1)
+        upd = improves | starts
+        cur_max = np.where(upd, m, cur_max)
+        alive = upd
+    finalize(alive, T - 1)
+    none = eligible & (score2 < 0)
+    score2[none] = 0  # kswr default score2=0 when tracking found none
     return score2, te2
 
 

@@ -259,8 +259,23 @@ def distributed_dedup(mesh: Mesh, words: np.ndarray, lens: np.ndarray,
                 for a in (words, lens.astype(np.int32),
                           sumq.astype(np.uint32), gidx, valid)]
         sw, sl, si, ih, sv = fused(*args)
-        sw, sl, si, ih, sv = (np.asarray(sw), np.asarray(sl), np.asarray(si),
-                              np.asarray(ih), np.asarray(sv))
+
+        multi = any(d.process_index != jax.process_index()
+                    for d in mesh.devices.flat)
+
+        def pull(x):
+            # multi-controller runs hold only the local shards; tiled
+            # process_allgather reassembles the same dp-major layout
+            # np.asarray yields single-process
+            if multi:
+                from jax.experimental import multihost_utils
+
+                return np.asarray(
+                    multihost_utils.process_allgather(x, tiled=True))
+            return np.asarray(x)
+
+        sw, sl, si, ih, sv = (pull(sw), pull(sl), pull(si), pull(ih),
+                              pull(sv))
 
     # received row count sanity (overflow detection)
     if int(sv.sum()) != B:

@@ -99,3 +99,57 @@ def test_sw_extend_batch_matches_ksw_extend_port():
                                     bytes(t[i, :tlens[i]]), int(h0[i]), w=w)
             assert (sc[i], qle[i], tle[i]) == ref, (i, w, (sc[i], qle[i],
                                                            tle[i]), ref)
+
+
+def _kswr_second_best_scalar(row_max, score, te, minsc, max_match):
+    """The original per-element double loop (ksw.c b-array port), kept as
+    the oracle for the vectorized kswr_second_best."""
+    import numpy as np
+
+    B, T = row_max.shape
+    score2 = np.full(B, -1, np.int64)
+    te2 = np.full(B, -1, np.int64)
+    for b in range(B):
+        entries = []
+        for i in range(T):
+            m = int(row_max[b, i])
+            if m < minsc:
+                continue
+            if not entries or entries[-1][1] + 1 != i:
+                entries.append((m, i))
+            elif entries[-1][0] < m:
+                entries[-1] = (m, i)
+        if int(score[b]) <= 0:
+            continue
+        w = (int(score[b]) + max_match - 1) // max_match
+        low, high = int(te[b]) - w, int(te[b]) + w
+        for m, e in entries:
+            if (e < low or e > high) and m > score2[b]:
+                score2[b], te2[b] = m, e
+        if score2[b] < 0:
+            score2[b] = 0
+            te2[b] = -1
+    return score2, te2
+
+
+def test_kswr_second_best_vectorized_matches_scalar():
+    """Fuzz the vectorized chain-compression against the scalar b-array
+    port on 1k random batches (VERDICT r2 #6)."""
+    import numpy as np
+
+    from ngstpu.ops.align import kswr_second_best
+
+    rng = np.random.default_rng(123)
+    for trial in range(1000):
+        B = int(rng.integers(1, 6))
+        T = int(rng.integers(1, 24))
+        # small value range maximizes ties, runs, and window collisions
+        row_max = rng.integers(0, 8, (B, T)).astype(np.int64)
+        score = rng.integers(-2, 10, B).astype(np.int64)
+        te = rng.integers(0, T, B).astype(np.int64)
+        minsc = int(rng.integers(0, 6))
+        max_match = int(rng.integers(1, 4))
+        got = kswr_second_best(row_max, score, te, minsc, max_match)
+        exp = _kswr_second_best_scalar(row_max, score, te, minsc, max_match)
+        np.testing.assert_array_equal(got[0], exp[0], err_msg=f"t{trial}")
+        np.testing.assert_array_equal(got[1], exp[1], err_msg=f"t{trial}")
