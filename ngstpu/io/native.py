@@ -183,6 +183,9 @@ def get_lib() -> ctypes.CDLL | None:
             _p_i32, _i64, _p_u8, _i32, _i64,
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
             _i64, _p_u8, _i64, _int]
+        lib.ngs_depth_intervals.restype = _i64
+        lib.ngs_depth_intervals.argtypes = [_p_i32, _i64, _p_i64, _p_i64,
+                                            _p_i64, _i64, _int]
         lib.ngs_format_int3_rows.restype = _i64
         lib.ngs_format_int3_rows.argtypes = [_p_u8, _i32, _p_i64, _p_i64,
                                              _p_i64, _i64, _p_u8]
@@ -379,6 +382,30 @@ def depth_emit_dense(delta: np.ndarray, ev_count: int, name: bytes,
     if w < 0:  # cap bound above is a proof; this is defensive only
         raise ValueError("depth emit buffer overflow")
     return text[:w].tobytes(), bins
+
+
+def depth_intervals_dense(delta: np.ndarray, ev_count: int,
+                          zero_after: bool = False):
+    """Dense delta array -> (starts, ends, depths) int64 columns of the
+    maximal constant-depth runs with depth > 0 (ops/bamops.merged_intervals
+    equivalent, from the dense pileup instead of sorted events). Returns
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    z = np.zeros(0, np.int64)
+    if ev_count == 0:
+        return z, z, z  # no events scattered -> array untouched (all-zero)
+    cap = 2 * ev_count + 2
+    starts = np.empty(cap, np.int64)
+    ends = np.empty(cap, np.int64)
+    depths = np.empty(cap, np.int64)
+    k = lib.ngs_depth_intervals(np.ascontiguousarray(delta, np.int32),
+                                len(delta), starts, ends, depths, cap,
+                                1 if zero_after else 0)
+    if k < 0:  # cap bound above is a proof; defensive only
+        raise ValueError("depth intervals buffer overflow")
+    return starts[:k], ends[:k], depths[:k]
 
 
 def concat_pairs(a: np.ndarray, la: np.ndarray, b: np.ndarray,

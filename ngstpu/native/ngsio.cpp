@@ -1686,6 +1686,34 @@ int64_t ngs_bam_depth_scan(const uint8_t* buf, int64_t n,
 // ops/bamops.depth_window_bins). Returns bytes written to text, or -1 if
 // cap could be exceeded (caller sizes cap from ev_counts: rows <=
 // 2*ev_counts+1). L1 is the delta array length (>= last event end + 1).
+// Dense delta array -> merged (start, end, depth) interval columns — the
+// array form of ngs_depth_emit's bedGraph rows (maximal constant-depth
+// runs with depth > 0; equals ops/bamops.merged_intervals on the same
+// pileup). Feeds bam2wig's window binning, whose quirky inclusive-end
+// arithmetic (reference bam2wig.c:130-175) lives in the vectorized
+// wig_window_bins. Returns the row count, or -1 when cap is short
+// (callers size cap >= 2*ev_count + 1). zero_after as in ngs_depth_emit.
+int64_t ngs_depth_intervals(int32_t* delta, int64_t L1,
+                            int64_t* starts, int64_t* ends, int64_t* depths,
+                            int64_t cap, int zero_after) {
+    int64_t k = 0, depth = 0, i = 0;
+    while (i < L1) {
+        depth += delta[i];
+        if (zero_after) delta[i] = 0;
+        int64_t j = i + 1;
+        while (j < L1 && delta[j] == 0) ++j;
+        if (depth > 0) {
+            if (k >= cap) return -1;
+            starts[k] = i;
+            ends[k] = j;
+            depths[k] = depth;
+            ++k;
+        }
+        i = j;
+    }
+    return k;
+}
+
 // zero_after != 0 restores every nonzero delta entry to 0 as it is read:
 // the array comes back all-zero from the emit for free (it reads every
 // entry anyway), so recycled dense buffers never need a bulk memset.

@@ -25,23 +25,66 @@ from ..utils.timing import StageTimer
 
 def process_bam(path: str, index1: int, outfile: str, window: int,
                 timer: StageTimer) -> None:
+    from ..io.bam import DensePileupUnsupported, stream_depth_dense
+    from ..io.native import depth_intervals_dense
+    from .bam2depth import _prefetch1
+
+    dense = stream_depth_dense(path, FUNMAP, recycle=True)
+    if dense is not None:
+        # fast path: the same fused dense pileup as bam2depth; the merged
+        # (start, end, depth) columns come straight from the delta array
+        # (ngs_depth_intervals ≡ merged_intervals) and feed the SAME
+        # vectorized wig binning, so output parity is unchanged
+        header, per_ref = dense
+        intervals = _prefetch1(
+            depth_intervals_dense(delta, evs, zero_after=True)
+            for delta, evs in per_ref)
+        try:
+            _emit_wig(path, header, intervals, index1, outfile, window,
+                      timer)
+            return
+        except DensePileupUnsupported:
+            pass  # corrupt coordinates: redo on the sparse event path
+
     header, events = stream_chrom_events(path, FUNMAP)
+    _emit_wig(path, header,
+              (merged_intervals(pos, delta) for pos, delta in events),
+              index1, outfile, window, timer)
+
+
+def _emit_wig(path, header, intervals, index1: int, outfile: str,
+              window: int, timer: StageTimer) -> None:
+    from ..io.bam import DensePileupUnsupported
+
     wig_out = open_text_output(with_suffix(outfile, f".{index1}.wig"))
     chr_out = open_text_output(with_suffix(outfile, f".{index1}.chromSize.txt"))
 
-    for (name, tlen), (pos, delta) in zip(
-            zip(header.ref_names, header.ref_lens), events):
-        n_windows = tlen // window + 1
-        starts, ends, depths = merged_intervals(pos, delta)
-        bins = wig_window_bins(starts, ends, depths, window,
-                               n_windows, tlen)
-        wig_out.write(f"variableStep chrom={name} span={window}\n")
-        ws = np.arange(n_windows, dtype=np.int64) * window
-        nz = np.flatnonzero(bins)
-        wig_out.write("".join(
-            f"{int(ws[i])}\t{bins[i] / window:.2f}\n" for i in nz))
-        chr_out.write(f"{name}\t{tlen}\n")
-        sys.stderr.write(f"{name} at {timer.elapsed():.3f} s\n")
+    done = 0
+    try:
+        for (name, tlen), (starts, ends, depths) in zip(
+                zip(header.ref_names, header.ref_lens), intervals):
+            n_windows = tlen // window + 1
+            bins = wig_window_bins(starts, ends, depths, window,
+                                   n_windows, tlen)
+            wig_out.write(f"variableStep chrom={name} span={window}\n")
+            ws = np.arange(n_windows, dtype=np.int64) * window
+            nz = np.flatnonzero(bins)
+            wig_out.write("".join(
+                f"{int(ws[i])}\t{bins[i] / window:.2f}\n" for i in nz))
+            chr_out.write(f"{name}\t{tlen}\n")
+            sys.stderr.write(f"{name} at {timer.elapsed():.3f} s\n")
+            done += 1
+    except DensePileupUnsupported:
+        # close explicitly so the sparse rerun reopens truncated files;
+        # stdout cannot be truncated — surface instead of double-emitting
+        for f in (wig_out, chr_out):
+            if f is not sys.stdout:
+                f.close()
+        if done and sys.stdout in (wig_out, chr_out):
+            raise ValueError(
+                "corrupt BAM coordinates after partial stdout output; "
+                "rerun with -o FILE to allow the sparse-path retry")
+        raise
 
     for f in (wig_out, chr_out):
         if f is not sys.stdout:

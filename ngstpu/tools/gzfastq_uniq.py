@@ -136,8 +136,11 @@ def _run_se_fast(read1: str, outfile: str, timer: StageTimer) -> bool:
            if verdict == "host"
            else _sort_device(words, ix.seq_len, sumq, bucket, const_len, W))
     n_groups = 0
-    with open(with_suffix(outfile, "_uniq.fq"), "wb", buffering=0) as f1, \
-            open(with_suffix(outfile, "_sortKeyUniq.fq"), "wb",
+    from .pipeline import _fresh
+
+    with open(_fresh(with_suffix(outfile, "_uniq.fq")), "wb",
+              buffering=0) as f1, \
+            open(_fresh(with_suffix(outfile, "_sortKeyUniq.fq")), "wb",
                  buffering=0) as f2:
         writer = _RingWriter(_CloningSink(f1, f2), ["pipe.emit0",
                                                     "pipe.emit1"])
@@ -249,8 +252,11 @@ def _run_pe_fast(read1: str, read2: str, outfile: str,
            if verdict == "host"
            else _sort_device(words, key_lens, sumq, bucket, const_len, W))
     n_groups = 0
-    with open(with_suffix(outfile, "_1_uniq.fq"), "wb", buffering=0) as f1, \
-            open(with_suffix(outfile, "_2_uniq.fq"), "wb",
+    from .pipeline import _fresh
+
+    with open(_fresh(with_suffix(outfile, "_1_uniq.fq")), "wb",
+              buffering=0) as f1, \
+            open(_fresh(with_suffix(outfile, "_2_uniq.fq")), "wb",
                  buffering=0) as f2:
         w1 = _RingWriter(f1, ["uniq.emit1a", "uniq.emit1b"])
         w2 = _RingWriter(f2, ["uniq.emit2a", "uniq.emit2b"])

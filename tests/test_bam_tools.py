@@ -211,3 +211,30 @@ def test_wig_window_bins_vectorized_speed():
     t0 = time.monotonic()
     wig_window_bins(starts, ends, depths, 20000, 101, 2_000_000)
     assert time.monotonic() - t0 < 0.05
+
+
+def test_bam2wig_dense_matches_sparse_lazy_regime(tmp_path, monkeypatch):
+    """bam2wig through the dense fast path (lazy-allocation regime forced
+    via a tiny prealloc cap) must byte-match the sparse event path."""
+    from ngstpu.testing.bamfixtures import random_bam_fast
+    from ngstpu.tools import bam2wig
+
+    bam = tmp_path / "w.bam"
+    random_bam_fast(str(bam), [("c1", 60000), ("c2", 40000)], 4000, seed=9)
+    from ngstpu.utils.timing import StageTimer
+
+    monkeypatch.setenv("NGSTPU_DENSE_PREALLOC_MAX", "1000")  # force lazy
+    bam2wig.process_bam(str(bam), 1, str(tmp_path / "dense"), 5000,
+                        StageTimer())
+    monkeypatch.delenv("NGSTPU_DENSE_PREALLOC_MAX")
+
+    # sparse reference: run _emit_wig over stream_chrom_events directly
+    from ngstpu.io.bam import FUNMAP
+    from ngstpu.ops.bamops import merged_intervals, stream_chrom_events
+    header, events = stream_chrom_events(str(bam), FUNMAP)
+    bam2wig._emit_wig(str(bam), header,
+                      (merged_intervals(p, d) for p, d in events),
+                      1, str(tmp_path / "sparse"), 5000, StageTimer())
+    for suf in (".1.wig", ".1.chromSize.txt"):
+        assert (tmp_path / ("dense" + suf)).read_bytes() == \
+            (tmp_path / ("sparse" + suf)).read_bytes(), suf
