@@ -96,29 +96,14 @@ def _inflate_gz(path: str, pool: str) -> np.ndarray | None:
     return None
 
 
-def index_fastq(path: str | None,
-                pool: str | None = None) -> IndexedFastq | None:
-    """Index a FASTQ file: plain files via mmap, gzip files via a whole-
-    file libdeflate inflate into a pooled buffer (both then share the
-    offset-index machinery). Returns None when the fast path does not
-    apply (stdin, empty file, no native lib, a failed inflate, or a
-    missing trailing newline) — callers fall back to the generic reader.
-
-    `pool`: optional bufpool name prefix for the six offset arrays —
-    repeated same-process runs (benchmarks, the serve daemon) then reuse
-    the pages instead of re-faulting ~60MB per run. Views of the same pool
-    name alias, so only one IndexedFastq per pool name may be live.
-
-    Raises ValueError on a line count that is not a multiple of 4 (same
-    contract as the generic parser).
-    """
-    lib = get_lib()
+def _load_data(path: str | None, pool: str | None) -> np.ndarray | None:
+    """Raw record bytes for the offset-index machinery: plain files mmap,
+    gzip files inflate into a pooled buffer (transparent gzdopen of
+    reference IO_stream.h:122-136). None when the fast path cannot apply."""
     kind = _sniff(path)
-    if lib is None or kind is None:
+    if get_lib() is None or kind is None:
         return None
     if kind == "gz":
-        # transparent gzip (reference IO_stream.h:122-136): inflate into a
-        # pooled buffer, then the identical offset-index machinery
         data = _inflate_gz(path, pool if pool is not None else "gzix")
         if data is None or len(data) == 0:
             return None
@@ -138,6 +123,29 @@ def index_fastq(path: str | None,
                 pass
         data = np.frombuffer(mm, dtype=np.uint8)
     if data[-1] != 0x0A:  # no trailing newline: generic path tolerates it
+        return None
+    return data
+
+
+def index_fastq(path: str | None,
+                pool: str | None = None) -> IndexedFastq | None:
+    """Index a FASTQ file: plain files via mmap, gzip files via a whole-
+    file libdeflate inflate into a pooled buffer (both then share the
+    offset-index machinery). Returns None when the fast path does not
+    apply (stdin, empty file, no native lib, a failed inflate, or a
+    missing trailing newline) — callers fall back to the generic reader.
+
+    `pool`: optional bufpool name prefix for the six offset arrays —
+    repeated same-process runs (benchmarks, the serve daemon) then reuse
+    the pages instead of re-faulting ~60MB per run. Views of the same pool
+    name alias, so only one IndexedFastq per pool name may be live.
+
+    Raises ValueError on a line count that is not a multiple of 4 (same
+    contract as the generic parser).
+    """
+    lib = get_lib()
+    data = _load_data(path, pool)
+    if data is None:
         return None
     t = lib.ngs_hw_threads()
     state = np.zeros(4 + 14 * max(t, 64), dtype=np.int64)
@@ -167,6 +175,54 @@ def index_fastq(path: str | None,
                             seq_off, seq_len, qual_off, qual_len, t)
     return IndexedFastq(data, name_off, name_len, seq_off, seq_len,
                         qual_off, qual_len)
+
+
+def index_fastq_fused(path: str | None, pool: str):
+    """Index + fused QC/pack in ONE sweep over the bytes
+    (ngs_fastq_index_fused): the record offsets AND the QC histograms,
+    quality sums, 2-bit sort keys and bucket histogram come out of the
+    same record-aligned walk — one full pass less than index_fastq +
+    fused_stats. Returns
+    (IndexedFastq, words u32 [B, W], sumq u32 [B], hist_q u64 [512, 128],
+     hist_len u64 [512], bucket u32 [256], all_acgt: bool)
+    or None when the fast path does not apply. Buffers come from the
+    bufpool under `pool`.`name` (aliased across calls with the same pool).
+    """
+    from ..utils.bufpool import get_buffer, get_matrix
+
+    lib = get_lib()
+    data = _load_data(path, pool + ".ix")
+    if data is None:
+        return None
+    t = lib.ngs_hw_threads()
+    state = np.zeros(4 + 14 * max(t, 64), dtype=np.int64)
+    n_lines = lib.ngs_fastq_scan(data, len(data), state, t)
+    if n_lines % 4:
+        raise ValueError(
+            f"FASTQ file has {n_lines} lines (not a multiple of 4)")
+    b = n_lines // 4
+    if b == 0:
+        return None
+    lmax = int(state[2])
+    W = max(1, -(-lmax // 16))
+    name_off = get_buffer(pool + ".ix.name_off", 8 * b, np.int64)[:b]
+    name_len = get_buffer(pool + ".ix.name_len", 4 * b, np.int32)[:b]
+    seq_off = get_buffer(pool + ".ix.seq_off", 8 * b, np.int64)[:b]
+    seq_len = get_buffer(pool + ".ix.seq_len", 4 * b, np.int32)[:b]
+    qual_off = get_buffer(pool + ".ix.qual_off", 8 * b, np.int64)[:b]
+    qual_len = get_buffer(pool + ".ix.qual_len", 4 * b, np.int32)[:b]
+    words_all = get_matrix(pool + ".words", b, W, np.uint32)
+    sumq = get_buffer(pool + ".sumq", 4 * b, np.uint32)[:b]
+    hist_q = np.zeros((512, 128), np.uint64)
+    hist_len = np.zeros(512, np.uint64)
+    bucket = np.zeros(256, np.uint32)
+    bad = lib.ngs_fastq_index_fused(
+        data, len(data), state, name_off, name_len, seq_off, seq_len,
+        qual_off, qual_len, W, words_all, sumq, hist_q.reshape(-1),
+        hist_len, hist_q.shape[1], hist_q.shape[0], bucket, 0)
+    ix = IndexedFastq(data, name_off, name_len, seq_off, seq_len,
+                      qual_off, qual_len)
+    return ix, words_all, sumq, hist_q, hist_len, bucket, bad == 0
 
 
 def fused_stats(ix: IndexedFastq, lo: int, hi: int, words: int,

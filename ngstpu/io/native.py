@@ -104,6 +104,17 @@ def get_lib() -> ctypes.CDLL | None:
         lib.ngs_fastq_index.argtypes = [
             _p_u8, _i64, _p_i64,
             _p_i64, _p_i32, _p_i64, _p_i32, _p_i64, _p_i32, _int]
+        lib.ngs_fastq_index_fused.restype = _int
+        lib.ngs_fastq_index_fused.argtypes = [
+            _p_u8, _i64, _p_i64,
+            _p_i64, _p_i32, _p_i64, _p_i32, _p_i64, _p_i32,
+            _i64,
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+            _i64, _i64,
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"), _int]
         lib.ngs_fastq_fused.restype = _int
         lib.ngs_fastq_fused.argtypes = [
             _p_u8, _p_i64, _p_i32, _p_i64, _p_i32, _i64, _i64,

@@ -686,6 +686,170 @@ void ngs_fastq_index(const uint8_t* data, int64_t n, const int64_t* state,
     });
 }
 
+namespace {
+
+struct DnaTables {
+    uint8_t rank[256];
+    uint8_t bad[256];
+    DnaTables() {
+        memset(rank, 0, sizeof(rank));
+        memset(bad, 1, sizeof(bad));
+        rank[(uint8_t)'A'] = 0; bad[(uint8_t)'A'] = 0;
+        rank[(uint8_t)'C'] = 1; bad[(uint8_t)'C'] = 0;
+        rank[(uint8_t)'G'] = 2; bad[(uint8_t)'G'] = 0;
+        rank[(uint8_t)'T'] = 3; bad[(uint8_t)'T'] = 0;
+    }
+};
+
+// per-record fused work shared by ngs_fastq_fused / ngs_fastq_index_fused:
+// quality histogram + sum, length histogram, speculative 2-bit pack,
+// leading-byte bucket histogram
+inline void fused_record(const DnaTables& tb, const uint8_t* data,
+                         int64_t soff, int64_t sl, int64_t qoff, int64_t ql,
+                         int64_t words, uint32_t* o, uint32_t* sumq_i,
+                         uint64_t* hq, uint64_t* hl, uint32_t* hb,
+                         int* badrow, int64_t n_qual, int64_t n_len) {
+    const uint8_t* q = data + qoff;
+    int64_t lim = ql < n_len ? ql : n_len;
+    uint32_t s = 0;
+    for (int64_t k = 0; k < lim; ++k) {
+        uint8_t c = q[k];
+        s += c;
+        if (c < n_qual) ++hq[k * n_qual + c];
+    }
+    for (int64_t k = lim; k < ql; ++k) s += q[k];
+    *sumq_i = s;
+    int64_t lbin = sl < 0 ? 0 : (sl >= n_len ? n_len - 1 : sl);
+    ++hl[lbin];
+    const uint8_t* sp = data + soff;
+    int64_t full = sl / 16 < words ? sl / 16 : words;
+    const uint8_t* p = sp;
+    for (int64_t w = 0; w < full; ++w, p += 16) {
+        uint32_t acc = 0;
+        for (int k = 0; k < 16; ++k) {
+            acc = (acc << 2) | tb.rank[p[k]];
+            *badrow |= tb.bad[p[k]];
+        }
+        o[w] = acc;
+    }
+    int64_t pos = full * 16;
+    for (int64_t w = full; w < words; ++w) {
+        uint32_t acc = 0;
+        for (int k = 0; k < 16; ++k, ++pos) {
+            uint32_t r = 0;
+            if (pos < sl) {
+                r = tb.rank[sp[pos]];
+                *badrow |= tb.bad[sp[pos]];
+            }
+            acc = (acc << 2) | r;
+        }
+        o[w] = acc;
+    }
+    ++hb[words ? (o[0] >> 24) : 0];
+}
+
+}  // namespace
+
+// Index + fused pass in ONE sweep over the bytes: record offsets/lengths
+// AND the QC histograms / quality sums / 2-bit sort keys / bucket
+// histogram come out of a single record-aligned walk per thread — the
+// bytes are still in cache when the fused work runs, removing the full
+// re-read ngs_fastq_index + ngs_fastq_fused pay as separate passes.
+// Thread decomposition: from the ngs_fastq_scan state, thread t owns
+// records [ceil(P_t/4), ceil(P_{t+1}/4)) and finds its record-aligned
+// byte start by advancing <= 3 newlines from its first-line offset (a
+// walk may read past its range end into the next thread's bytes; record
+// ownership stays exclusive). Returns 0 when all sequence bytes were
+// ACGT, 1 otherwise.
+int ngs_fastq_index_fused(const uint8_t* data, int64_t n,
+                          const int64_t* state,
+                          int64_t* name_off, int32_t* name_len,
+                          int64_t* seq_off, int32_t* seq_len,
+                          int64_t* qual_off, int32_t* qual_len,
+                          int64_t words, uint32_t* words_out, uint32_t* sumq,
+                          uint64_t* hist_q, uint64_t* hist_len,
+                          int64_t n_qual, int64_t n_len,
+                          uint32_t* bucket_hist, int nthreads) {
+    static const DnaTables tb;
+    int64_t T = state[0];
+    int64_t total_lines = state[1];
+    int64_t total_rec = total_lines / 4;
+    (void)nthreads;
+    // record-aligned start per thread: (first record index, byte offset)
+    std::vector<int64_t> r0(T + 1, total_rec), b0(T, -1);
+    for (int64_t t = 0; t < T; ++t) {
+        const int64_t* st = state + 4 + 14 * t;
+        if (st[0] == 0) continue;  // no lines in this thread's range
+        int64_t p_t = st[11];
+        int64_t rec = (p_t + 3) / 4;
+        int64_t skip = rec * 4 - p_t;
+        const uint8_t* p = data + st[13];
+        const uint8_t* end = data + n;
+        while (skip > 0 && p < end) {
+            p = static_cast<const uint8_t*>(memchr(p, '\n', end - p));
+            if (p == nullptr) { p = end; break; }
+            ++p;
+            --skip;
+        }
+        r0[t] = rec;
+        b0[t] = p - data;
+    }
+    // propagate: a thread with no start inherits the next thread's
+    for (int64_t t = T - 1; t >= 0; --t) {
+        if (b0[t] < 0) {
+            r0[t] = r0[t + 1];
+        }
+    }
+    std::vector<std::vector<uint64_t>> part_q(
+        T, std::vector<uint64_t>(n_len * n_qual, 0));
+    std::vector<std::vector<uint64_t>> part_l(
+        T, std::vector<uint64_t>(n_len, 0));
+    std::vector<std::array<uint32_t, 256>> part_b(T);
+    for (auto& a : part_b) a.fill(0);
+    std::atomic<int> any_bad{0};
+    parallel_ranges(T, static_cast<int>(T), [&](int64_t lo_t, int64_t hi_t,
+                                                int) {
+        for (int64_t t = lo_t; t < hi_t; ++t) {
+            int64_t r = r0[t], r_end = r0[t + 1];
+            if (r >= r_end) continue;
+            uint64_t* hq = part_q[t].data();
+            uint64_t* hl = part_l[t].data();
+            uint32_t* hb = part_b[t].data();
+            int badrow = 0;
+            const uint8_t* p = data + b0[t];
+            const uint8_t* end = data + n;
+            for (; r < r_end; ++r) {
+                int64_t offs[4];
+                int32_t lens4[4];
+                for (int k = 0; k < 4; ++k) {
+                    const uint8_t* nlp = static_cast<const uint8_t*>(
+                        memchr(p, '\n', end - p));
+                    offs[k] = p - data;
+                    lens4[k] = static_cast<int32_t>(nlp - p);
+                    p = nlp + 1;
+                }
+                name_off[r] = offs[0];
+                name_len[r] = lens4[0];
+                seq_off[r] = offs[1];
+                seq_len[r] = lens4[1];
+                qual_off[r] = offs[3];
+                qual_len[r] = lens4[3];
+                fused_record(tb, data, offs[1], lens4[1], offs[3], lens4[3],
+                             words, words_out + r * words, sumq + r,
+                             hq, hl, hb, &badrow, n_qual, n_len);
+            }
+            if (badrow) any_bad.store(1, std::memory_order_relaxed);
+        }
+    });
+    for (int64_t t = 0; t < T; ++t) {
+        for (int64_t j = 0; j < n_len * n_qual; ++j)
+            hist_q[j] += part_q[t][j];
+        for (int64_t j = 0; j < n_len; ++j) hist_len[j] += part_l[t][j];
+        for (int j = 0; j < 256; ++j) bucket_hist[j] += part_b[t][j];
+    }
+    return any_bad.load();
+}
+
 // One fused pass over the indexed records: QC quality histogram (cycle-major
 // [n_len, n_qual] u64, ACCUMULATED) + length histogram, per-record quality
 // sums, speculative 2-bit ACGT sort-key packing (W words per row, padding

@@ -103,30 +103,22 @@ def _run_se_fast(read1: str, outfile: str, timer: StageTimer) -> bool:
     mmap + one fused pack/sumq pass, placement-aware sort, text emitted
     straight from the raw bytes with the second output kernel-cloned.
     Returns False when the fast path does not apply."""
-    from ..io.fastindex import fused_stats, index_fastq, uniq_text
-    from ..utils.bufpool import get_buffer, get_matrix
+    from ..io.fastindex import index_fastq_fused, uniq_text
     from ..utils.linkprobe import link_verdict, probe_link
-    from .pipeline import (CHUNK_RECORDS, _CloningSink, _RingWriter,
-                           _sort_device, _sort_host)
+    from .pipeline import (_CloningSink, _RingWriter, _sort_device,
+                           _sort_host)
 
     if not outfile or outfile.startswith("-"):
         return False
-    ix = index_fastq(read1)
-    if ix is None or ix.n == 0:
+    fused = index_fastq_fused(read1, pool="pipe")
+    if fused is None:
         return False
+    ix, words, sumq, _hist_q, _hist_len, bucket, ok = fused
+    if not ok:
+        return False  # non-ACGT: generic path handles wide alphabets
     B = ix.n
     lmax = int(ix.seq_len.max())
-    W = max(1, -(-lmax // 16))
-    words = get_matrix("pipe.words", B, W, np.uint32)
-    sumq = get_buffer("pipe.sumq", 4 * B, np.uint32)
-    hist_q = np.zeros((512, 128), np.uint64)
-    hist_len = np.zeros(512, np.uint64)
-    bucket = np.zeros(256, np.uint32)
-    for lo in range(0, B, CHUNK_RECORDS):
-        hi = min(lo + CHUNK_RECORDS, B)
-        if not fused_stats(ix, lo, hi, W, words[lo:hi], sumq[lo:hi],
-                           hist_q, hist_len, bucket):
-            return False  # non-ACGT: generic path handles wide alphabets
+    W = words.shape[1]
     timer.log("Finished load hash at %.3f s\n")
     const_len = int(ix.seq_len.min()) == lmax
     verdict = link_verdict()

@@ -144,25 +144,23 @@ def _partition_bounds(bucket_hist: np.ndarray, n_parts: int) -> np.ndarray:
     return np.searchsorted(cum, targets).astype(np.uint32)
 
 
-def run_fast(ix, infile: str, prefix: str, start: int, end: int,
+def run_fast(fused, infile: str, prefix: str, start: int, end: int,
              timer: StageTimer) -> dict | None:
-    """Offset-indexed overlapped pipeline. Returns None when the data is
-    not pure ACGT (caller falls back to the generic path)."""
-    from ..io.fastindex import fused_stats, trim_text
-    from ..ops.sortengine import rep_counts_host, sort_partition
-    from ..utils.bufpool import get_buffer, get_matrix
+    """Offset-indexed overlapped pipeline over the one-sweep
+    index_fastq_fused result. Returns None when the data is not pure ACGT
+    (caller falls back to the generic path)."""
+    from ..io.fastindex import trim_text
+    from ..utils.bufpool import get_buffer
 
+    ix, words_all, sumq_all, hist_q, hist_len, bucket, ok = fused
+    if not ok:
+        return None
     B = ix.n
     lmax = int(ix.seq_len.max()) if B else 0
-    W = max(1, -(-lmax // 16))
-    words_all = get_matrix("pipe.words", B, W, np.uint32)
-    sumq_all = get_buffer("pipe.sumq", 4 * B, np.uint32)
-    hist_q = np.zeros((512, 128), np.uint64)
-    hist_len = np.zeros(512, np.uint64)
-    bucket = np.zeros(256, np.uint32)
+    W = words_all.shape[1]
 
-    # parse + trim: fused native pass per chunk; trim text is assembled
-    # straight from the mmap'd bytes and written by the ring writer
+    # trim: text assembled straight from the raw bytes per chunk and
+    # written by the ring writer (formatting chunk k+1 overlaps writing k)
     cl = np.clip(np.minimum(ix.seq_len.astype(np.int64), end) - start, 0,
                  None)
     trim_rec = ix.name_len.astype(np.int64) + 1 + cl + 3 + cl + 1
@@ -171,22 +169,15 @@ def run_fast(ix, infile: str, prefix: str, start: int, end: int,
         chunk_trim_cap = max(chunk_trim_cap,
                              int(trim_rec[lo:lo + CHUNK_RECORDS].sum()))
     ring_names = ["pipe.trim0", "pipe.trim1", "pipe.trim2"]
-    ok = True
     tf = open(_fresh(prefix + ".trim.fastq"), "wb")
     trim_writer = _RingWriter(tf, ring_names)
     try:
         for lo in range(0, B, CHUNK_RECORDS):
             hi = min(lo + CHUNK_RECORDS, B)
-            ok = fused_stats(ix, lo, hi, W, words_all[lo:hi],
-                             sumq_all[lo:hi], hist_q, hist_len, bucket)
-            if not ok:
-                break
             name = trim_writer.acquire()
             buf = get_buffer(name, chunk_trim_cap)
             total = trim_text(ix, lo, hi, start, end, buf)
             trim_writer.submit(name, buf, total)
-        if not ok:
-            return None
         timer.checkpoint("parse")
         # the trim writer keeps draining in the background: the trim file
         # write overlaps the dedup sort + uniq emit below (it only gates
@@ -427,11 +418,11 @@ def run(infile: str, prefix: str, start: int, end: int,
         timer: StageTimer | None = None) -> dict:
     timer = timer or StageTimer()
     if not os.environ.get("NGSTPU_NO_FASTPATH"):
-        from ..io.fastindex import index_fastq
+        from ..io.fastindex import index_fastq_fused
 
-        ix = index_fastq(infile, pool="pipe.ix")
-        if ix is not None and ix.n > 0:
-            info = run_fast(ix, infile, prefix, start, end, timer)
+        fused = index_fastq_fused(infile, pool="pipe")
+        if fused is not None:
+            info = run_fast(fused, infile, prefix, start, end, timer)
             if info is not None:
                 return info
             # non-ACGT alphabet: rerun on the generic chunked path
