@@ -71,3 +71,39 @@ def test_uniq_1m(big_fq, tmp_path):
     assert rc == 0
     assert (tmp_path / "ours_sortKeyUniq.fq").read_bytes() == \
         (tmp_path / "ref_sortKeyUniq.fq").read_bytes()
+
+
+def test_uniq_pe_fast_1m(tmp_path):
+    """1M-pair PE dedup: fast path vs generic — identical outputs and a
+    >=2x wall-clock win (VERDICT r2 #3)."""
+    import time
+
+    import numpy as np
+
+    from ngstpu.testing.fixtures import random_fastq_fast
+    from ngstpu.tools import gzfastq_uniq as gu
+    from ngstpu.utils.timing import StageTimer
+
+    n = 1 << 20
+    p1 = tmp_path / "m1.fq"
+    p2 = tmp_path / "m2.fq"
+    p1.write_bytes(random_fastq_fast(n, 100, seed=41, dup_frac=0.3))
+    p2.write_bytes(random_fastq_fast(n, 100, seed=42, dup_frac=0.3))
+
+    t0 = time.monotonic()
+    assert gu._run_pe_fast(str(p1), str(p2), str(tmp_path / "fast"),
+                           StageTimer())
+    t_fast = time.monotonic() - t0
+
+    os.environ["NGSTPU_NO_FASTPATH"] = "1"
+    try:
+        t0 = time.monotonic()
+        gu.run_pe(str(p1), str(p2), str(tmp_path / "gen"), StageTimer())
+        t_gen = time.monotonic() - t0
+    finally:
+        del os.environ["NGSTPU_NO_FASTPATH"]
+
+    for mate in ("_1_uniq.fq", "_2_uniq.fq"):
+        assert (tmp_path / ("fast" + mate)).read_bytes() == \
+            (tmp_path / ("gen" + mate)).read_bytes(), mate
+    assert t_fast * 2 <= t_gen, (t_fast, t_gen)
