@@ -77,32 +77,7 @@ def process_bam(path: str, index1: int, outfile: str, window: int,
                   window, wig, timer)
 
 
-def _prefetch1(gen):
-    """Pull items of `gen` one ahead on a worker thread: the producer's
-    next item (decode + emit pass of the next chromosome) computes while
-    the consumer writes the current one. Exceptions re-raise in order."""
-    import queue
-    import threading
-
-    q: "queue.Queue" = queue.Queue(maxsize=1)
-    DONE = object()
-
-    def worker():
-        try:
-            for item in gen:
-                q.put(item)
-            q.put(DONE)
-        except BaseException as e:  # noqa: BLE001 - relayed to consumer
-            q.put(e)
-
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is DONE:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+from ..utils.iopipe import prefetch1 as _prefetch1
 
 
 def _emit_outputs(path, header, rows_and_bins, index1: int, outfile: str,

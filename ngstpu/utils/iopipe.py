@@ -54,3 +54,31 @@ class TeeWriter:
         for e in self._errs:
             if e is not None:
                 raise e
+
+
+def prefetch1(gen):
+    """Pull items of `gen` one ahead on a worker thread: the producer's
+    next item computes while the consumer handles the current one.
+    Exceptions re-raise in order at the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=1)
+    done = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(done)
+        except BaseException as e:  # noqa: BLE001 - relayed to consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is done:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

@@ -77,11 +77,13 @@ def bench(fn, arg, label):
         out = fn(arg)
         s ^= sync(out)
         best = min(best, time.monotonic() - t0)
-    print(f"{label}: first={t_compile:.2f}s warm_min={best:.3f}s (chk {s})")
+    print(f"{label}: first={t_compile:.2f}s warm_min={best:.3f}s (chk {s})",
+          flush=True)
     return np.asarray(out)
 
 
 def main():
+    only = os.environ.get("SORTEXP_ONLY", "both")
     rng = np.random.default_rng(0)
     # most-significant-first logical keys: W words, len, -sumq
     words = rng.integers(0, 1 << 32, (B, W), dtype=np.uint64).astype(np.uint32)
@@ -91,8 +93,10 @@ def main():
              .astype(np.uint32))
     msf = [words[:, w] for w in range(W)] + [lens, nsumq]
     lsf = np.stack(list(reversed(msf)))  # [P, B] least-significant-first
-    print(f"B={B} passes={len(msf)}")
-    pa = bench(lsd_a, jnp.asarray(lsf), "a) 2-operand chain")
+    print(f"B={B} passes={len(msf)}", flush=True)
+    pa = None
+    if only in ("a", "both"):
+        pa = bench(lsd_a, jnp.asarray(lsf), "a) 2-operand chain")
 
     # pair up for num_keys=2: group lsf into consecutive pairs
     # (more-significant first within the pair); pad with a zero key
@@ -106,8 +110,11 @@ def main():
         # least-significant pair first; within pair [more, less]
         pairs.append(np.stack([msf2[i], msf2[i + 1]]))
     kp = np.stack(pairs)  # [P/2, 2, B]
-    pb = bench(lsd_b, jnp.asarray(kp), "b) 2-key chain")
-    print("identical:", np.array_equal(pa, pb))
+    pb = None
+    if only in ("b", "both"):
+        pb = bench(lsd_b, jnp.asarray(kp), "b) 2-key chain")
+    if pa is not None and pb is not None:
+        print("identical:", np.array_equal(pa, pb))
 
 
 if __name__ == "__main__":
