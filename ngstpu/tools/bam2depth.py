@@ -25,7 +25,7 @@ import sys
 
 import numpy as np
 
-from ..io.bam import DEF_MASK
+from ..io.bam import DEF_MASK, DensePileupUnsupported
 from ..io.native import format_int3_rows
 from ..io.stream import open_text_output, with_suffix
 from ..ops.bamops import (depth_window_bins, merged_intervals,

@@ -238,3 +238,60 @@ def test_bam2wig_dense_matches_sparse_lazy_regime(tmp_path, monkeypatch):
     for suf in (".1.wig", ".1.chromSize.txt"):
         assert (tmp_path / ("dense" + suf)).read_bytes() == \
             (tmp_path / ("sparse" + suf)).read_bytes(), suf
+
+
+def test_bam2depth_dense_midstream_fallback(tmp_path, monkeypatch):
+    """A corrupt (negative-start) record on chromosome 2 kills the dense
+    fast path AFTER chromosome 1 was already emitted; with file outputs the
+    tool must rerun on the sparse path with truncated files (no duplicated
+    rows), and with stdout output it must refuse instead of double-emitting
+    (bam2depth.c has no such fallback: its hash path tolerates any int key,
+    so parity demands the sparse rerun produce the hash-path output)."""
+    import ngstpu.io.bam as iobam
+    from ngstpu.testing.bamfixtures import encode_record, make_bam
+    from ngstpu.tools import bam2depth
+    from ngstpu.utils.timing import StageTimer
+
+    seq = "ACGT" * 25
+    recs = [encode_record(f"a{i}", 0, 10 + i, 30, "100M", seq)
+            for i in range(800)]
+    recs += [encode_record(f"b{i}", 1, 5 + i, 30, "100M", seq)
+             for i in range(800)]
+    recs += [encode_record("bad", 1, -7, 30, "100M", seq)]
+    bam = tmp_path / "mid.bam"
+    make_bam(str(bam), [("c1", 5000), ("c2", 4000)], recs)
+
+    # tiny chunks so c1 is emitted BEFORE the chunk holding the corrupt
+    # record is scanned — the failure must strike mid-emit
+    dense_orig = iobam.stream_depth_dense
+    monkeypatch.setattr(
+        iobam, "stream_depth_dense",
+        lambda p, m, **kw: dense_orig(p, m, chunk_bytes=2048, **kw))
+
+    monkeypatch.chdir(tmp_path)
+    bam2depth.process_bam(str(bam), 1, str(tmp_path / "fb"), 700, True,
+                          StageTimer())
+
+    # expected: force the sparse path by disabling the dense scan
+    monkeypatch.setattr(iobam, "stream_depth_dense",
+                        lambda *a, **k: None)
+    sparse_dir = tmp_path / "sp"
+    sparse_dir.mkdir()
+    monkeypatch.chdir(sparse_dir)
+    bam2depth.process_bam(str(bam), 1, str(sparse_dir / "fb"), 700, True,
+                          StageTimer())
+    for name in ("mid.bam.1.bedGraph",):
+        assert (tmp_path / name).read_bytes() == \
+            (sparse_dir / name).read_bytes(), name
+    for suf in (".1.depth", ".1.wig", ".1.chromSize.txt"):
+        assert (tmp_path / ("fb" + suf)).read_bytes() == \
+            (sparse_dir / ("fb" + suf)).read_bytes(), suf
+
+    # stdout output: must raise, not double-emit chromosome 1
+    monkeypatch.undo()
+    monkeypatch.setattr(
+        iobam, "stream_depth_dense",
+        lambda p, m, **kw: dense_orig(p, m, chunk_bytes=2048, **kw))
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(ValueError, match="stdout"):
+        bam2depth.process_bam(str(bam), 2, "-", 700, False, StageTimer())
