@@ -104,6 +104,9 @@ def main() -> None:
             from ngstpu.testing.bamfixtures import random_bam_fast
             random_bam_fast(str(small), [(f"chr{i+1}", 5_000_000)
                                          for i in range(4)], 1 << 20, seed=7)
+        if not pathlib.Path(str(small) + ".bai").exists():
+            from ngstpu.testing.bamfixtures import index_bam
+            index_bam(str(small))  # the C side needs the index
         def run_c_small():
             t0 = time.monotonic()
             r = subprocess.run([exe, "-o", str(work / "cs"), str(small)],

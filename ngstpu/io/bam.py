@@ -246,6 +246,61 @@ class BamStream:
             yield scan_records(body, strict=True)
 
 
+def read_bam_header(path: str) -> BamHeader:
+    """Decode just the BAM header (a few BGZF blocks): gzip-stream the
+    prefix until parse_header succeeds. Cheap enough to drive dispatch
+    decisions before committing to a full-file decode strategy."""
+    import gzip
+
+    with gzip.open(path, "rb") as f:
+        buf = b""
+        while True:
+            chunk = f.read(1 << 16)
+            buf += chunk
+            if len(buf) >= 4 and buf[:4] != BAM_MAGIC:
+                raise ValueError("not a BAM file")
+            try:
+                header, _ = parse_header(buf)
+                return header
+            except (ValueError, IndexError, struct.error):
+                if not chunk:
+                    raise ValueError("truncated BAM header")
+
+
+def choose_pileup_mode(path: str) -> str:
+    """Pick the pileup engine for a whole-file depth/wig conversion.
+
+    'dense'  — fused delta-scatter into per-reference arrays; O(genome)
+               memory traffic, unbeatable at real WGS depth where events
+               rival genome size (and on small genomes, where the arrays
+               preallocate and fit cache-ish).
+    'events' — stream_pileup_events + radix sweep; O(events·log-ish)
+               work, the winner when the genome is huge but coverage is
+               shallow (est. events ≪ genome positions). The reference's
+               per-chromosome hash makes the same trade (bam2depth.c:86).
+    'sparse' — the python/device legacy path (no native lib, or forced).
+
+    Heuristic anchored on measured per-unit costs (this host): dense adds
+    ~5ns/bp of genome; the event path ~95ns/event; events estimated from
+    the compressed size (~50 compressed bytes per event on typical
+    100bp-read BAMs). NGSTPU_PILEUP_MODE=dense|events|sparse overrides.
+    """
+    mode = os.environ.get("NGSTPU_PILEUP_MODE")
+    if mode in ("events", "dense", "sparse"):
+        return mode
+    try:
+        header = read_bam_header(path)
+        genome = sum(header.ref_lens) + header.n_refs
+        prealloc_max = int(os.environ.get("NGSTPU_DENSE_PREALLOC_MAX",
+                                          64 << 20))
+        if genome <= prealloc_max:
+            return "dense"
+        est_events = os.path.getsize(path) // 50
+        return "events" if est_events < genome // 16 else "dense"
+    except (OSError, ValueError):
+        return "dense"  # let the real decode surface the precise error
+
+
 class DensePileupUnsupported(ValueError):
     """Input contains alignments the dense pileup cannot represent
     (reference start below 0 — corrupt records); callers fall back to the
@@ -475,6 +530,136 @@ def stream_depth_dense(path: str, flag_mask: int,
             yield a, c
             if recycle and a is not empty:
                 free_list.append(a)
+
+    return header, gen()
+
+
+def stream_pileup_events(path: str, flag_mask: int,
+                         chunk_bytes: int = 32 << 20):
+    """Event-mode pileup stream (the low-depth bam2depth/bam2wig fast
+    path): yields (pos, delta) int32 event arrays per reference in header
+    order — the stream_chrom_events contract — but decodes through the
+    pooled zero-copy BGZF inflater and extracts CIGAR M-run events with
+    one vectorized pass per chunk, skipping the columnar BamStream
+    carry/concat copies. At WGS shapes with modest depth this does
+    O(events) work where the dense scatter path pays O(genome) memory
+    traffic (the trade the reference's per-chromosome hash makes too,
+    bam2depth.c:86-110 — here the hash is a radix sweep).
+
+    Returns (header, generator), or None when the native library is
+    unavailable (callers fall back to stream_chrom_events, which has a
+    pure-python decode path). Grouping semantics match the sparse/dense
+    paths exactly: coordinate-grouped inputs release each chromosome as
+    the stream moves past its tid; interleaved tids accumulate until EOF;
+    a tid reappearing after emission is dropped like both other paths.
+    """
+    import ctypes
+
+    from .native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..utils.bufpool import get_buffer
+    from .bgzf import PooledInflater
+
+    inf = PooledInflater(path, chunk_bytes, pool="bamev.chunk",
+                         prefetch=True)
+    buf = b""
+    while True:
+        if len(buf) >= 4 and buf[:4] != BAM_MAGIC:
+            raise ValueError("not a BAM file")
+        try:
+            header, body_off = parse_header(buf)
+            break
+        except (ValueError, IndexError, struct.error):
+            nxt = inf.next_chunk(b"")
+            if nxt is None:
+                raise ValueError("truncated BAM header")
+            buf += nxt.tobytes()
+    initial_carry = buf[body_off:]
+    n_refs = header.n_refs
+
+    def gen():
+        pending: dict[int, list] = {}
+        emitted = 0
+        monotone = True
+        last_tid = -1
+        empty = (np.zeros(0, np.int32), np.zeros(0, np.int32))
+
+        def flush(t):
+            pieces = pending.pop(t, None)
+            if not pieces:
+                return empty
+            ns = sum(len(s) for s, _ in pieces)
+            pos = np.empty(2 * ns, np.int32)
+            delta = np.empty(2 * ns, np.int32)
+            o = 0
+            for s, e in pieces:
+                k = len(s)
+                pos[o:o + k] = s
+                pos[o + k:o + 2 * k] = e
+                delta[o:o + k] = 1
+                delta[o + k:o + 2 * k] = -1
+                o += 2 * k
+            return pos, delta
+
+        mono_state = np.array([1, -1], np.int32)
+        carry = np.frombuffer(initial_carry, np.uint8)
+        final = False
+        while True:
+            body = inf.next_chunk(carry)
+            if body is None:
+                body = carry
+                final = True
+            if len(body) == 0 and final:
+                break
+            body = np.ascontiguousarray(body)
+            n_rec = ctypes.c_int64()
+            n_cig = ctypes.c_int64()
+            rc = lib.ngs_bam_count(body, len(body), ctypes.byref(n_rec),
+                                   ctypes.byref(n_cig))
+            if rc == 2 or (rc == 1 and final):
+                # re-walk with the columnar scanner for its precise
+                # malformed/truncated diagnostics (raises)
+                scan_records(body, strict=final)
+                raise ValueError("truncated BAM record at end of file")
+            C = int(n_cig.value)
+            tid_b = get_buffer("bamev.tid", 4 * max(C, 1), np.int32)
+            st_b = get_buffer("bamev.start", 4 * max(C, 1), np.int32)
+            en_b = get_buffer("bamev.end", 4 * max(C, 1), np.int32)
+            n_ev = ctypes.c_int64()
+            consumed_c = ctypes.c_int64()
+            lib.ngs_bam_m_events(body, len(body), flag_mask, tid_b, st_b,
+                                 en_b, ctypes.byref(n_ev),
+                                 ctypes.byref(consumed_c), mono_state)
+            E = int(n_ev.value)
+            consumed = int(consumed_c.value)
+            if E:
+                tids = tid_b[:E]
+                ss, se = st_b[:E], en_b[:E]
+                if not mono_state[0] and (np.diff(tids) < 0).any():
+                    order = np.argsort(tids, kind="stable")
+                    tids, ss, se = tids[order], ss[order], se[order]
+                bounds = np.searchsorted(
+                    tids, np.arange(int(tids[0]), int(tids[-1]) + 2))
+                for i, t in enumerate(range(int(tids[0]),
+                                            int(tids[-1]) + 1)):
+                    lo, hi = int(bounds[i]), int(bounds[i + 1])
+                    if lo < hi:
+                        pending.setdefault(t, []).append(
+                            (ss[lo:hi].copy(), se[lo:hi].copy()))
+            if mono_state[0]:
+                while emitted < mono_state[1] and emitted < n_refs:
+                    yield flush(emitted)
+                    emitted += 1
+            if final:
+                break
+            carry = body[consumed:]
+        inf.close()
+        while emitted < n_refs:
+            yield flush(emitted)
+            emitted += 1
 
     return header, gen()
 

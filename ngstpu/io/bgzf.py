@@ -165,29 +165,51 @@ class PooledInflater:
     bgzf_read buffer reuse does (reference klib bgzf.h:84-112), sized for
     multi-GB WGS BAMs.
 
+    prefetch=True overlaps the NEXT chunk's read+inflate with the caller's
+    processing of the current one: inflation lands at a fixed reserve
+    offset of an alternating second pooled buffer BEFORE the caller's
+    carry is known; next_chunk then just copies the (small) carry into the
+    tail of the reserve area in front of it. The decode thread(s) inside
+    ngs_gzip_decompress_blocks keep both cores busy while the caller's
+    single-threaded record scan runs — the kt_pipeline read/compute
+    overlap of the reference (klib/kthread.c:83-143) on the input side.
+    A carry larger than the reserve (a record spanning >reserve inflated
+    bytes) falls back to one extra copy into a side buffer.
+
     Requires the native library (callers gate on get_lib()).
     """
 
     def __init__(self, path: str, chunk_bytes: int = 32 << 20,
-                 pool: str = "bgzf.pooled"):
+                 pool: str = "bgzf.pooled", prefetch: bool = False,
+                 reserve: int = 1 << 20):
         self._f = open(path, "rb")
         self._chunk = chunk_bytes
         self._pool = pool
         self._ctail = b""   # compressed partial-block remainder
         self._eof = False
+        self._prefetch = prefetch
+        self._reserve = reserve if prefetch else 0
+        self._flip = 0
+        self._job = None   # (thread, result_holder)
+        if prefetch:
+            self._start_job()
 
     def close(self) -> None:
+        if self._job is not None:
+            self._job[0].join()
+            self._job = None
         self._f.close()
 
-    def next_chunk(self, carry) -> np.ndarray | None:
-        """Inflate the next compressed chunk; returns a uint8 view of
-        carry ++ inflated bytes (valid until the next call), or None at
-        EOF (with `carry` empty-checked by the caller). Raises ValueError
-        on a truncated trailing block."""
+    def _inflate_next(self, reserve: int | None = None):
+        """Read+scan+inflate one batch of whole blocks into a pooled
+        buffer at offset `reserve` (default: the configured prefetch
+        reserve). Returns (out, total) or None at EOF; raises ValueError
+        on corrupt/truncated streams."""
         from ..utils.bufpool import get_buffer
 
         lib = get_lib()
-        carry = bytes(carry)  # copy the small tail out of the live buffer
+        if reserve is None:
+            reserve = self._reserve
         while True:
             if self._eof:
                 if self._ctail:
@@ -205,15 +227,15 @@ class PooledInflater:
                 raise ValueError("truncated BGZF block")
             if len(starts) == 0:
                 continue
-            nc = len(carry)
             total = int(isizes.sum())
-            out = get_buffer(self._pool, nc + total)
-            if nc:
-                out[:nc] = np.frombuffer(carry, np.uint8)
+            name = (f"{self._pool}.{self._flip}" if self._prefetch
+                    else self._pool)
+            self._flip ^= 1
+            out = get_buffer(name, reserve + total)
             out_offsets = np.empty(len(starts), np.int64)
-            out_offsets[0] = nc
+            out_offsets[0] = reserve
             np.cumsum(isizes[:-1], out=out_offsets[1:])
-            out_offsets[1:] += nc
+            out_offsets[1:] += reserve
             out_sizes = np.empty(len(starts), np.int64)
             rc = lib.ngs_gzip_decompress_blocks(
                 np.frombuffer(buf, np.uint8), np.ascontiguousarray(starts),
@@ -221,7 +243,67 @@ class PooledInflater:
                 np.ascontiguousarray(isizes), out_sizes, 0)
             if rc != 0 or not (out_sizes == isizes).all():
                 raise ValueError("corrupt BGZF block payload")
+            return out, total
+
+    def _start_job(self) -> None:
+        import threading
+
+        holder: list = []
+
+        def run():
+            try:
+                holder.append(("ok", self._inflate_next()))
+            except BaseException as e:  # surfaced on the caller's next pull
+                holder.append(("err", e))
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        self._job = (t, holder)
+
+    def next_chunk(self, carry) -> np.ndarray | None:
+        """Inflate the next compressed chunk; returns a uint8 view of
+        carry ++ inflated bytes (valid until the next call of the same
+        parity — with prefetch the PREVIOUS view stays valid while this
+        one is produced), or None at EOF (with `carry` empty-checked by
+        the caller). Raises ValueError on a truncated trailing block."""
+        carry = bytes(carry)  # copy the small tail out of the live buffer
+        if not self._prefetch:
+            nc = len(carry)
+            got = self._inflate_next(reserve=nc)
+            if got is None:
+                return None
+            out, total = got
+            if nc:
+                out[:nc] = np.frombuffer(carry, np.uint8)
             return out[:nc + total]
+        t, holder = self._job
+        t.join()
+        kind, got = holder[0]
+        if kind == "err":
+            self._job = (t, holder)  # sticky: re-raises on every pull
+            raise got
+        if got is None:
+            return None
+        self._start_job()  # overlap the NEXT batch with caller processing
+        out, total = got
+        nc = len(carry)
+        if nc <= self._reserve:
+            if nc:
+                out[self._reserve - nc:self._reserve] = np.frombuffer(
+                    carry, np.uint8)
+            return out[self._reserve - nc:self._reserve + total]
+        return self._with_carry(out, total, carry)
+
+    def _with_carry(self, out: np.ndarray, total: int, carry: bytes
+                    ) -> np.ndarray:
+        """Oversized-carry fallback: one extra copy into a side buffer."""
+        from ..utils.bufpool import get_buffer
+
+        nc = len(carry)
+        big = get_buffer(self._pool + ".carry", nc + total)
+        big[:nc] = np.frombuffer(carry, np.uint8)
+        big[nc:nc + total] = out[self._reserve:self._reserve + total]
+        return big[:nc + total]
 
 
 def decompress_bgzf(data: bytes) -> bytes:

@@ -181,6 +181,10 @@ def get_lib() -> ctypes.CDLL | None:
             _p_u8, _i64, _p_i64, _p_i32, _p_i32, _p_i32, _p_i32, _p_i32,
             _p_i32, _p_i32, _p_i64, _p_i32, _p_u8,
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"), _int]
+        lib.ngs_bam_m_events.restype = _int
+        lib.ngs_bam_m_events.argtypes = [
+            _p_u8, _i64, _i32, _p_i32, _p_i32, _p_i32,
+            ctypes.POINTER(_i64), ctypes.POINTER(_i64), _p_i32]
         lib.ngs_pileup_sweep.restype = _i64
         lib.ngs_pileup_sweep.argtypes = [_p_i32, _p_i32, _i64, _p_i64,
                                          _p_i64, _int]
@@ -199,7 +203,7 @@ def get_lib() -> ctypes.CDLL | None:
                                             _p_i64, _i64, _int]
         lib.ngs_format_int3_rows.restype = _i64
         lib.ngs_format_int3_rows.argtypes = [_p_u8, _i32, _p_i64, _p_i64,
-                                             _p_i64, _i64, _p_u8]
+                                             _p_i64, _i64, _p_u8, _int]
         lib.ngs_format_int2_fixed2_rows.restype = _i64
         lib.ngs_format_int2_fixed2_rows.argtypes = [_p_u8, _i32, _p_i64,
                                                     _p_i64, _p_i64, _i64, _p_u8]
@@ -360,7 +364,7 @@ def format_int3_rows(prefix: bytes, a: np.ndarray, b: np.ndarray,
     cap = n * (len(prefix) + 64)
     out = np.empty(cap, dtype=np.uint8)
     w = lib.ngs_format_int3_rows(np.frombuffer(prefix, np.uint8), len(prefix),
-                                 a64, b64, c64, n, out)
+                                 a64, b64, c64, n, out, 0)
     return out[:w].tobytes()
 
 

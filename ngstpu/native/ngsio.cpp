@@ -1456,6 +1456,79 @@ int ngs_bam_count(const uint8_t* buf, int64_t n, int64_t* n_rec,
     return (o == n) ? 0 : 1;
 }
 
+// Fused M-run event extraction for the event-mode pileup path
+// (io/bam.py stream_pileup_events): one pass over a chunk of BAM record
+// bytes emitting (tid, start, end) per CIGAR M run of records passing the
+// flag mask — the per-read hash-insert loop of the reference
+// (bam2depth.c:86-110) as a single branch-light walk that never touches
+// the sequence/quality bytes (unlike the full columnar scan, whose GC
+// pass reads every base). Caller sizes the out arrays at
+// n_cigar_total from ngs_bam_count. mono_state[2] = {monotone flag,
+// last passing tid} persists across chunks (the early-emission tracking
+// of the python grouping loop). Returns 0 (all bytes consumed), 1
+// (trailing partial record; *consumed set), 2 (malformed record).
+int ngs_bam_m_events(const uint8_t* buf, int64_t n, int32_t flag_mask,
+                     int32_t* out_tid, int32_t* out_start, int32_t* out_end,
+                     int64_t* n_events, int64_t* consumed,
+                     int32_t* mono_state) {
+    int64_t o = 0, ev = 0;
+    int32_t mono = mono_state[0], last_tid = mono_state[1];
+    while (o + 4 <= n) {
+        uint32_t bs;
+        memcpy(&bs, buf + o, 4);
+        if (o + 4 + bs > (uint64_t)n) break;
+        if (bs < 32) {
+            *n_events = ev; *consumed = o;
+            mono_state[0] = mono; mono_state[1] = last_tid;
+            return 2;
+        }
+        const uint8_t* r = buf + o + 4;
+        uint8_t l_read_name = r[8];
+        uint16_t n_cigar, flag;
+        memcpy(&n_cigar, r + 12, 2);
+        memcpy(&flag, r + 14, 2);
+        int32_t l_seq;
+        memcpy(&l_seq, r + 16, 4);
+        if (l_read_name < 1 || l_seq < 0 ||
+            32 + (int64_t)l_read_name + 4 * (int64_t)n_cigar +
+                    ((int64_t)l_seq + 1) / 2 + (int64_t)l_seq > (int64_t)bs) {
+            *n_events = ev; *consumed = o;
+            mono_state[0] = mono; mono_state[1] = last_tid;
+            return 2;
+        }
+        int32_t tid, pos;
+        memcpy(&tid, r, 4);
+        memcpy(&pos, r + 4, 4);
+        if ((flag & flag_mask) == 0 && tid >= 0) {
+            if (mono && tid < last_tid) mono = 0;
+            if (mono) last_tid = tid;
+            const uint8_t* cg = r + 32 + l_read_name;
+            int32_t off = 0;
+            for (uint16_t k = 0; k < n_cigar; ++k) {
+                uint32_t c;
+                memcpy(&c, cg + 4 * k, 4);
+                uint32_t op = c & 0xF;
+                int32_t ln = (int32_t)(c >> 4);
+                if (op == 0) {  // M: emit block, advance
+                    out_tid[ev] = tid;
+                    out_start[ev] = pos + off;
+                    out_end[ev] = pos + off + ln;
+                    ++ev;
+                    off += ln;
+                } else if (op == 2 || op == 3) {  // D/N advance only
+                    off += ln;
+                }  // I/S/H/P/=/X: no reference advance (bam2depth.c:94-107)
+            }
+        }
+        o += 4 + bs;
+    }
+    *n_events = ev;
+    *consumed = o;
+    mono_state[0] = mono;
+    mono_state[1] = last_tid;
+    return (o == n) ? 0 : 1;
+}
+
 // Pass 2: fill columnar outputs (caller sized them from ngs_bam_count).
 // gc counts bases whose 4-bit code is 2 (C) or 4 (G)
 // (reference bam_sliding_count.c:84-91 cal_GC).
@@ -1533,34 +1606,84 @@ void ngs_bam_scan(const uint8_t* buf, int64_t n,
 // Host pileup sweep (transfer-aware fallback for ops/bamops.py
 // sparse_pileup_sweep): sort (pos, delta) events by position, accumulate
 // the running depth, and emit one (pos, cumulative depth) row per unique
-// position — exactly the device kernel's is_last rows. Sorting packs each
-// event into one int64 (pos << 32 | biased delta) so the sort is a flat
-// primitive-key std::sort.
+// position — exactly the device kernel's is_last rows. Each event packs
+// into one int64 (sign-biased pos << 32 | biased delta); the sort is a
+// 2-pass LSD radix over the two 16-bit position digits (the delta bits
+// never need ordering — depth is a sum over equal positions), ~10x a
+// comparison sort on the multi-million-event chromosomes the event-mode
+// bam2depth path feeds here (the hash+qsort this replaces:
+// reference bam2depth.c:203-236, hashtbl.c:275-297).
 // Returns the number of unique positions; u_pos/u_depth sized >= n by caller.
 // ---------------------------------------------------------------------------
 int64_t ngs_pileup_sweep(const int32_t* pos, const int32_t* delta, int64_t n,
                          int64_t* u_pos, int64_t* u_depth, int nthreads) {
-    (void)nthreads;
     if (n == 0) return 0;
-    std::vector<int64_t> keys(n);
-    for (int64_t i = 0; i < n; ++i) {
-        keys[i] = (static_cast<int64_t>(pos[i]) << 32) |
-                  static_cast<uint32_t>(delta[i] + (1 << 30));
-    }
-    std::sort(keys.begin(), keys.end());
-    int64_t out = 0;
-    int64_t depth = 0;
-    int64_t cur = keys[0] >> 32;
-    for (int64_t i = 0; i < n; ++i) {
-        int64_t p = keys[i] >> 32;
+    int T = nthreads > 0 ? nthreads : static_cast<int>(hw_threads());
+    if (T > 4) T = 4;
+    if (n < (1 << 16)) T = 1;
+    std::vector<int64_t> keys(n), tmp(n);
+    std::vector<int64_t> bounds(T + 1);
+    for (int t = 0; t <= T; ++t) bounds[t] = n * t / T;
+    // pack + per-slice 2x16-bit LSD radix, slices in parallel; the sweep
+    // below consumes the T sorted runs through a T-way merge (depth is a
+    // sum over equal positions, so run order between equals is free)
+    parallel_ranges(T, T, [&](int64_t lo_t, int64_t hi_t, int) {
+        for (int64_t t = lo_t; t < hi_t; ++t) {
+            int64_t lo = bounds[t], hi = bounds[t + 1];
+            for (int64_t i = lo; i < hi; ++i) {
+                uint32_t bp = static_cast<uint32_t>(pos[i]) ^ 0x80000000u;
+                keys[i] =
+                    (static_cast<int64_t>(static_cast<uint64_t>(bp)) << 32) |
+                    static_cast<uint32_t>(delta[i] + (1 << 30));
+            }
+            std::vector<int64_t> hist(1 << 16);
+            int64_t* src = keys.data();
+            int64_t* dst = tmp.data();
+            for (int shift = 32; shift < 64; shift += 16) {
+                std::fill(hist.begin(), hist.end(), 0);
+                for (int64_t i = lo; i < hi; ++i)
+                    ++hist[(static_cast<uint64_t>(src[i]) >> shift) & 0xFFFF];
+                int64_t run = lo;
+                for (int64_t d = 0; d < (1 << 16); ++d) {
+                    int64_t c = hist[d];
+                    hist[d] = run;
+                    run += c;
+                }
+                for (int64_t i = lo; i < hi; ++i)
+                    dst[hist[(static_cast<uint64_t>(src[i]) >> shift) &
+                             0xFFFF]++] = src[i];
+                std::swap(src, dst);
+            }
+        }
+    });
+    // T-way merge sweep over the sorted (still sign-biased) runs
+    std::vector<int64_t> idx(bounds.begin(), bounds.end() - 1);
+    auto head = [&](int t) -> uint64_t {
+        return static_cast<uint64_t>(keys[idx[t]]);
+    };
+    int64_t out = 0, depth = 0;
+    bool first = true;
+    int64_t cur = 0;
+    for (int64_t done = 0; done < n; ++done) {
+        int best = -1;
+        uint64_t bk = 0;
+        for (int t = 0; t < T; ++t) {
+            if (idx[t] < bounds[t + 1]) {
+                uint64_t k = head(t);
+                if (best < 0 || k < bk) { best = t; bk = k; }
+            }
+        }
+        int64_t p = static_cast<int64_t>(
+            static_cast<int32_t>((bk >> 32) ^ 0x80000000u));
+        if (first) { cur = p; first = false; }
         if (p != cur) {
             u_pos[out] = cur;
             u_depth[out++] = depth;
             cur = p;
         }
-        depth += static_cast<int64_t>(
-                     static_cast<uint32_t>(keys[i] & 0xFFFFFFFF)) -
+        depth += static_cast<int64_t>(static_cast<uint32_t>(bk & 0xFFFFFFFF)) -
                  (1 << 30);
+        ++idx[best];
     }
     u_pos[out] = cur;
     u_depth[out++] = depth;
@@ -1581,19 +1704,60 @@ static inline uint8_t* put_i64(uint8_t* o, int64_t v) {
 }
 
 // rows "prefix\tA\tB\tC\n" with integer columns; returns bytes written.
+static inline int i64_len(int64_t v) {
+    int l = (v < 0) ? 2 : 1;  // sign + first digit
+    uint64_t u = static_cast<uint64_t>(v < 0 ? -v : v);
+    while (u >= 10) { ++l; u /= 10; }
+    return l;
+}
+
 int64_t ngs_format_int3_rows(const uint8_t* prefix, int32_t prefix_len,
                              const int64_t* a, const int64_t* b,
-                             const int64_t* c, int64_t n, uint8_t* out) {
-    uint8_t* o = out;
-    for (int64_t i = 0; i < n; ++i) {
-        memcpy(o, prefix, prefix_len);
-        o += prefix_len;
-        *o++ = '\t'; o = put_i64(o, a[i]);
-        *o++ = '\t'; o = put_i64(o, b[i]);
-        *o++ = '\t'; o = put_i64(o, c[i]);
-        *o++ = '\n';
+                             const int64_t* c, int64_t n, uint8_t* out,
+                             int nthreads) {
+    int T = nthreads > 0 ? nthreads : hw_threads();
+    if (T > 8) T = 8;
+    if (n < (1 << 15)) T = 1;
+    if (T == 1) {
+        uint8_t* o = out;
+        for (int64_t i = 0; i < n; ++i) {
+            memcpy(o, prefix, prefix_len);
+            o += prefix_len;
+            *o++ = '\t'; o = put_i64(o, a[i]);
+            *o++ = '\t'; o = put_i64(o, b[i]);
+            *o++ = '\t'; o = put_i64(o, c[i]);
+            *o++ = '\n';
+        }
+        return o - out;
     }
-    return o - out;
+    // two-pass parallel: per-range byte totals, prefix, then packed fill
+    std::vector<int64_t> bounds(T + 1), offs(T + 1);
+    for (int t = 0; t <= T; ++t) bounds[t] = n * t / T;
+    parallel_ranges(T, T, [&](int64_t lo_t, int64_t hi_t, int) {
+        for (int64_t t = lo_t; t < hi_t; ++t) {
+            int64_t bytes = 0;
+            for (int64_t i = bounds[t]; i < bounds[t + 1]; ++i)
+                bytes += prefix_len + 4 + i64_len(a[i]) + i64_len(b[i]) +
+                         i64_len(c[i]);
+            offs[t + 1] = bytes;
+        }
+    });
+    offs[0] = 0;
+    for (int t = 0; t < T; ++t) offs[t + 1] += offs[t];
+    parallel_ranges(T, T, [&](int64_t lo_t, int64_t hi_t, int) {
+        for (int64_t t = lo_t; t < hi_t; ++t) {
+            uint8_t* o = out + offs[t];
+            for (int64_t i = bounds[t]; i < bounds[t + 1]; ++i) {
+                memcpy(o, prefix, prefix_len);
+                o += prefix_len;
+                *o++ = '\t'; o = put_i64(o, a[i]);
+                *o++ = '\t'; o = put_i64(o, b[i]);
+                *o++ = '\t'; o = put_i64(o, c[i]);
+                *o++ = '\n';
+            }
+        }
+    });
+    return offs[T];
 }
 
 // rows "prefix\tA\tB\tX.YZ\n" — last column fixed 2-decimal from

@@ -181,9 +181,13 @@ def sparse_pileup_sweep(pos: jax.Array, delta: jax.Array, n_valid: jax.Array):
     return s_pos, cum, is_last
 
 
-def merged_intervals(pos: np.ndarray, delta: np.ndarray):
+def merged_intervals(pos: np.ndarray, delta: np.ndarray,
+                     placement: str | None = None):
     """Host wrapper: events -> (starts, ends, depths) of maximal
-    constant-depth intervals with depth > 0 (the bedGraph rows)."""
+    constant-depth intervals with depth > 0 (the bedGraph rows).
+    placement='host' pins the sweep to the native radix path (the
+    event-mode WGS pipeline, where shipping tens of MB of events to a
+    possibly-tunneled device can never beat a sub-second host sort)."""
     if len(pos) == 0:
         z = np.zeros(0, np.int64)
         return z, z, z
@@ -196,7 +200,7 @@ def merged_intervals(pos: np.ndarray, delta: np.ndarray):
     # (the realized pull bandwidth below then votes via note_transfer).
     from ..utils.linkprobe import link_verdict, probe_link
 
-    verdict = link_verdict()
+    verdict = placement or link_verdict()
     if verdict is None and pos.nbytes >= (8 << 20):
         verdict = probe_link(pos)
     if verdict == "host":

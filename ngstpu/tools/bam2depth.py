@@ -33,12 +33,41 @@ from ..ops.bamops import (depth_window_bins, merged_intervals,
 from ..utils.timing import StageTimer
 
 
+def _sparse_rows_and_bins(header, events, window: int,
+                          placement: str | None):
+    for (name, tlen), (pos, delta) in zip(
+            zip(header.ref_names, header.ref_lens), events):
+        n_windows = tlen // window + 1
+        starts, ends, depths = merged_intervals(pos, delta, placement)
+        rows_b = (format_int3_rows(name.encode(), starts, ends, depths)
+                  if len(starts) else b"")
+        yield rows_b, depth_window_bins(starts, ends, depths, window,
+                                        n_windows, tlen)
+
+
 def process_bam(path: str, index1: int, outfile: str, window: int,
                 wig: bool, timer: StageTimer) -> None:
-    from ..io.bam import DensePileupUnsupported, stream_depth_dense
+    from ..io.bam import (choose_pileup_mode, stream_depth_dense,
+                          stream_pileup_events)
     from ..io.native import depth_emit_dense
 
-    dense = stream_depth_dense(path, DEF_MASK, recycle=True)
+    mode = choose_pileup_mode(path)
+    if mode == "events":
+        # low-depth WGS shape: O(events) radix sweep instead of the
+        # O(genome) dense scatter; the 1-deep prefetch overlaps chrom
+        # k's file write with the decode+sweep+format of chrom k+1
+        ev = stream_pileup_events(path, DEF_MASK)
+        if ev is not None:
+            header, events = ev
+            _emit_outputs(path, header,
+                          _prefetch1(_sparse_rows_and_bins(
+                              header, events, window, "host")),
+                          index1, outfile, window, wig, timer)
+            return
+        mode = "dense"  # no native lib: the dense probe below also
+        # returns None and the legacy sparse path runs
+    dense = (stream_depth_dense(path, DEF_MASK, recycle=True)
+             if mode != "sparse" else None)
     if dense is not None:
         # fast path: fused native dense pileup — per-chrom delta scatter
         # during the chunked decode, then one emit pass producing the
@@ -62,19 +91,9 @@ def process_bam(path: str, index1: int, outfile: str, window: int,
             pass  # corrupt coordinates: redo on the sparse event path
             # (outputs below reopen with truncation, so no partial rows)
     header, events = stream_chrom_events(path, DEF_MASK)
-
-    def rows_and_bins_legacy():
-        for (name, tlen), (pos, delta) in zip(
-                zip(header.ref_names, header.ref_lens), events):
-            n_windows = tlen // window + 1
-            starts, ends, depths = merged_intervals(pos, delta)
-            rows_b = (format_int3_rows(name.encode(), starts, ends, depths)
-                      if len(starts) else b"")
-            yield rows_b, depth_window_bins(starts, ends, depths, window,
-                                            n_windows, tlen)
-
-    _emit_outputs(path, header, rows_and_bins_legacy(), index1, outfile,
-                  window, wig, timer)
+    _emit_outputs(path, header,
+                  _sparse_rows_and_bins(header, events, window, None),
+                  index1, outfile, window, wig, timer)
 
 
 from ..utils.iopipe import prefetch1 as _prefetch1

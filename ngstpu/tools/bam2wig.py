@@ -25,11 +25,25 @@ from ..utils.timing import StageTimer
 
 def process_bam(path: str, index1: int, outfile: str, window: int,
                 timer: StageTimer) -> None:
-    from ..io.bam import DensePileupUnsupported, stream_depth_dense
+    from ..io.bam import (DensePileupUnsupported, choose_pileup_mode,
+                          stream_depth_dense, stream_pileup_events)
     from ..io.native import depth_intervals_dense
     from .bam2depth import _prefetch1
 
-    dense = stream_depth_dense(path, FUNMAP, recycle=True)
+    mode = choose_pileup_mode(path)
+    if mode == "events":
+        # low-depth WGS shape: O(events) radix sweep (see bam2depth)
+        ev = stream_pileup_events(path, FUNMAP)
+        if ev is not None:
+            header, events = ev
+            _emit_wig(path, header,
+                      _prefetch1(merged_intervals(pos, delta, "host")
+                                 for pos, delta in events),
+                      index1, outfile, window, timer)
+            return
+        mode = "dense"
+    dense = (stream_depth_dense(path, FUNMAP, recycle=True)
+             if mode != "sparse" else None)
     if dense is not None:
         # fast path: the same fused dense pileup as bam2depth; the merged
         # (start, end, depth) columns come straight from the delta array

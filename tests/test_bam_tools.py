@@ -295,3 +295,47 @@ def test_bam2depth_dense_midstream_fallback(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     with pytest.raises(ValueError, match="stdout"):
         bam2depth.process_bam(str(bam), 2, "-", 700, False, StageTimer())
+
+
+def test_bam2depth_event_mode_parity(tmp_path, monkeypatch, bam_fixture):
+    """The event-mode pileup engine (NGSTPU_PILEUP_MODE=events:
+    stream_pileup_events + radix sweep) must byte-match the C oracle
+    exactly like the dense/default engine does."""
+    monkeypatch.setenv("NGSTPU_PILEUP_MODE", "events")
+    ref_dir, ours_dir = _run_both(tmp_path, "bam2depth",
+                                  ["-o", "out", "-w", "6000", "-W"],
+                                  bam_fixture)
+    ref_files = sorted(os.listdir(ref_dir))
+    assert ref_files == sorted(os.listdir(ours_dir))
+    for f in ref_files:
+        assert (ours_dir / f).read_bytes() == (ref_dir / f).read_bytes(), f
+
+
+def test_bam2wig_event_mode_parity(tmp_path, monkeypatch, bam_fixture):
+    monkeypatch.setenv("NGSTPU_PILEUP_MODE", "events")
+    ref_dir, ours_dir = _run_both(tmp_path, "bam2wig",
+                                  ["-o", "out", "-w", "6000"], bam_fixture)
+    ref_files = sorted(os.listdir(ref_dir))
+    assert ref_files == sorted(os.listdir(ours_dir))
+    for f in ref_files:
+        assert (ours_dir / f).read_bytes() == (ref_dir / f).read_bytes(), f
+
+
+def test_choose_pileup_mode_heuristic(tmp_path, monkeypatch):
+    from ngstpu.io.bam import choose_pileup_mode
+    from ngstpu.testing.bamfixtures import encode_record, make_bam
+
+    seq = "ACGT" * 25
+    small = tmp_path / "small.bam"
+    make_bam(str(small), [("c1", 5000)],
+             [encode_record("r", 0, 10, 30, "100M", seq)])
+    assert choose_pileup_mode(str(small)) == "dense"  # preallocating size
+
+    # force the lazy regime: tiny prealloc cap makes any genome "WGS";
+    # a near-empty BAM then estimates far fewer events than genome/16
+    monkeypatch.setenv("NGSTPU_DENSE_PREALLOC_MAX", "1000")
+    assert choose_pileup_mode(str(small)) == "events"
+    monkeypatch.setenv("NGSTPU_PILEUP_MODE", "dense")
+    assert choose_pileup_mode(str(small)) == "dense"
+    monkeypatch.setenv("NGSTPU_PILEUP_MODE", "sparse")
+    assert choose_pileup_mode(str(small)) == "sparse"
