@@ -173,3 +173,55 @@ def test_dense_depth_negative_start_raises(tmp_path):
         pytest.skip("native library unavailable")
     with pytest.raises(DensePileupUnsupported):
         list(got[1])
+
+
+def test_stream_pileup_events_matches_batch(bam):
+    """The native event-mode stream (prefetching inflater + fused M-event
+    extractor) produces the same per-chromosome event multisets as the
+    whole-file decode, including with tiny chunks forcing carries."""
+    from ngstpu.io.bam import DEF_MASK, FUNMAP, read_bam, stream_pileup_events
+    from ngstpu.ops.bamops import cigar_m_events
+
+    header, cols = read_bam(bam)
+    for mask in (DEF_MASK, FUNMAP):
+        m = ((cols.flag & mask) == 0) & (cols.tid >= 0)
+        tids, starts, ends = cigar_m_events(cols, m)
+        got = stream_pileup_events(bam, mask, chunk_bytes=1 << 14)
+        if got is None:
+            pytest.skip("native library unavailable")
+        sheader, events = got
+        assert sheader.ref_names == header.ref_names
+        out = list(events)
+        assert len(out) == header.n_refs
+        for t in range(header.n_refs):
+            sel = tids == t
+            exp = np.sort(np.concatenate([
+                (starts[sel].astype(np.int64) << 2) + 1,
+                (ends[sel].astype(np.int64) << 2)]))
+            pos, delta = out[t]
+            key = np.sort((pos.astype(np.int64) << 2) + (delta > 0))
+            assert np.array_equal(key, exp), (mask, t)
+
+
+def test_stream_pileup_events_truncated_raises(tmp_path, bam):
+    """Corruption surfaces through the prefetching background inflater:
+    a mid-file BGZF cut and a mid-record cut both raise ValueError."""
+    from ngstpu.io.bam import DEF_MASK, stream_pileup_events
+
+    data = open(bam, "rb").read()
+    p1 = tmp_path / "cut_block.bam"
+    p1.write_bytes(data[:-37])  # cut inside the trailing blocks
+    got = stream_pileup_events(str(p1), DEF_MASK, chunk_bytes=1 << 14)
+    if got is None:
+        pytest.skip("native library unavailable")
+    with pytest.raises(ValueError):
+        list(got[1])
+
+    # re-wrap a truncated RECORD inside valid BGZF blocks
+    from ngstpu.io.bgzf import compress_bgzf, read_bgzf
+    raw = read_bgzf(bam)
+    p2 = tmp_path / "cut_record.bam"
+    p2.write_bytes(compress_bgzf(raw[:-11]))
+    got = stream_pileup_events(str(p2), DEF_MASK, chunk_bytes=1 << 14)
+    with pytest.raises(ValueError):
+        list(got[1])
