@@ -181,7 +181,10 @@ class PooledInflater:
 
     def __init__(self, path: str, chunk_bytes: int = 32 << 20,
                  pool: str = "bgzf.pooled", prefetch: bool = False,
-                 reserve: int = 1 << 20):
+                 reserve: int = 1 << 20, depth: int = 2):
+        import queue as _queue
+        import threading as _threading
+
         self._f = open(path, "rb")
         self._chunk = chunk_bytes
         self._pool = pool
@@ -190,14 +193,39 @@ class PooledInflater:
         self._prefetch = prefetch
         self._reserve = reserve if prefetch else 0
         self._flip = 0
-        self._job = None   # (thread, result_holder)
+        # producer may hold `depth` queued results + 1 in flight while the
+        # consumer still reads its current view: rotate depth+2 buffers
+        self._nbufs = depth + 2
+        self._sticky_err: BaseException | None = None
+        self._finished = False
+        self._t = None
         if prefetch:
-            self._start_job()
+            self._q = _queue.Queue(maxsize=depth)
+            self._stop = False
+            self._t = _threading.Thread(target=self._producer, daemon=True)
+            self._t.start()
+
+    def _producer(self) -> None:
+        while not self._stop:
+            try:
+                got = self._inflate_next()
+            except BaseException as e:  # surfaced on the consumer's pull
+                self._q.put(("err", e))
+                return
+            self._q.put(("ok", got))
+            if got is None:
+                return
 
     def close(self) -> None:
-        if self._job is not None:
-            self._job[0].join()
-            self._job = None
+        if self._t is not None:
+            self._stop = True
+            try:  # unblock a producer stuck in put()
+                while True:
+                    self._q.get_nowait()
+            except Exception:
+                pass
+            self._t.join(timeout=30)
+            self._t = None
         self._f.close()
 
     def _inflate_next(self, reserve: int | None = None):
@@ -230,7 +258,7 @@ class PooledInflater:
             total = int(isizes.sum())
             name = (f"{self._pool}.{self._flip}" if self._prefetch
                     else self._pool)
-            self._flip ^= 1
+            self._flip = (self._flip + 1) % self._nbufs
             out = get_buffer(name, reserve + total)
             out_offsets = np.empty(len(starts), np.int64)
             out_offsets[0] = reserve
@@ -245,26 +273,11 @@ class PooledInflater:
                 raise ValueError("corrupt BGZF block payload")
             return out, total
 
-    def _start_job(self) -> None:
-        import threading
-
-        holder: list = []
-
-        def run():
-            try:
-                holder.append(("ok", self._inflate_next()))
-            except BaseException as e:  # surfaced on the caller's next pull
-                holder.append(("err", e))
-
-        t = threading.Thread(target=run, daemon=True)
-        t.start()
-        self._job = (t, holder)
-
     def next_chunk(self, carry) -> np.ndarray | None:
         """Inflate the next compressed chunk; returns a uint8 view of
-        carry ++ inflated bytes (valid until the next call of the same
-        parity — with prefetch the PREVIOUS view stays valid while this
-        one is produced), or None at EOF (with `carry` empty-checked by
+        carry ++ inflated bytes (valid until the rotation reuses the same
+        pooled buffer — with prefetch the previous `depth+1` views stay
+        intact), or None at EOF (with `carry` empty-checked by
         the caller). Raises ValueError on a truncated trailing block."""
         carry = bytes(carry)  # copy the small tail out of the live buffer
         if not self._prefetch:
@@ -276,15 +289,17 @@ class PooledInflater:
             if nc:
                 out[:nc] = np.frombuffer(carry, np.uint8)
             return out[:nc + total]
-        t, holder = self._job
-        t.join()
-        kind, got = holder[0]
+        if self._sticky_err is not None:
+            raise self._sticky_err
+        if self._finished:
+            return None
+        kind, got = self._q.get()
         if kind == "err":
-            self._job = (t, holder)  # sticky: re-raises on every pull
+            self._sticky_err = got  # re-raises on every later pull
             raise got
         if got is None:
+            self._finished = True
             return None
-        self._start_job()  # overlap the NEXT batch with caller processing
         out, total = got
         nc = len(carry)
         if nc <= self._reserve:
