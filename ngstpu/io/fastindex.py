@@ -75,8 +75,11 @@ def _inflate_gz(path: str, pool: str) -> np.ndarray | None:
     n = len(raw)
     if n < 18:
         return None
+    # ISIZE comes from the (untrusted) trailer: a truncated/corrupt file
+    # reads 4 arbitrary bytes here, so clamp to DEFLATE's maximum
+    # compression ratio (~1032:1) before sizing any allocation
     isize = int(raw[-4:].view(np.uint32)[0])
-    cap = max(isize, 4 * n, 1 << 20)
+    cap = max(min(isize, 1032 * n), 4 * n, 1 << 20)
     starts = np.zeros(1, np.int64)
     lens_ = np.array([n], np.int64)
     offs = np.zeros(1, np.int64)

@@ -56,8 +56,15 @@ def get_buffer(name: str, nbytes: int, dtype=np.uint8) -> np.ndarray:
                     mm.madvise(mmap.MADV_HUGEPAGE)
                 except OSError:
                     pass
-            # pre-touch once so the fault cost is paid here, not mid-stage
-            np.frombuffer(mm, dtype=np.uint8)[::4096] = 0
+            # pre-touch once so the fault cost is paid here, not mid-stage —
+            # but only up to a bound: a multi-GB request (e.g. sized from an
+            # untrusted header field) must not turn into minutes of
+            # synchronous page faults; beyond the bound the consumer pays
+            # faults lazily for exactly the pages it writes
+            import os as _os
+
+            pretouch = int(_os.environ.get("NGSTPU_PRETOUCH_MAX", 1 << 30))
+            np.frombuffer(mm, dtype=np.uint8)[:min(cap, pretouch):4096] = 0
             _pool[name] = (mm, cap)
             ent = _pool[name]
     itemsize = np.dtype(dtype).itemsize

@@ -344,3 +344,77 @@ def test_bai_adversarial_fuzz(tmp_path):
         attempt(m.tobytes())
     for cut in rng.integers(0, len(good), 12):        # truncations
         attempt(good[:int(cut)])
+
+
+def test_fuzz_bam_mutations_event_mode(tmp_path):
+    """The event-mode pileup stream applies the SAME validation as the
+    columnar scanner: on random mutations of a whole BGZF BAM, both either
+    raise ValueError or produce identical per-chromosome event multisets
+    (never crash, never diverge)."""
+    import numpy as np
+
+    from ngstpu.io.bam import stream_pileup_events
+    from ngstpu.io.bgzf import compress_bgzf, read_bgzf
+    from ngstpu.ops.bamops import stream_chrom_events
+    from ngstpu.testing.bamfixtures import random_bam
+
+    bam = tmp_path / "evfuzz.bam"
+    random_bam(str(bam), [("c1", 60000), ("c2", 40000)], 150, seed=13)
+    raw = bytearray(read_bgzf(str(bam)))
+    rng = np.random.default_rng(17)
+    hdr_end = 200  # keep the header prefix intact: target record bytes
+    for trial in range(40):
+        body = bytearray(raw)
+        for _ in range(int(rng.integers(1, 4))):
+            op = int(rng.integers(0, 3))
+            pos = int(rng.integers(hdr_end, len(body)))
+            if op == 0:
+                body[pos] = int(rng.integers(0, 256))
+            elif op == 1:
+                del body[pos]
+            else:
+                body.insert(pos, int(rng.integers(0, 256)))
+        p = tmp_path / "mut.bam"
+        p.write_bytes(compress_bgzf(bytes(body)))
+
+        def run(fn):
+            try:
+                got = fn(str(p), 0)
+                if got is None:
+                    pytest.skip("native library unavailable")
+                out = []
+                for pos_a, d_a in got[1]:
+                    out.append(np.sort(pos_a.astype(np.int64) * 4
+                                       + (d_a + 1)))
+                return ("ok", out)
+            except ValueError:
+                return ("raise", None)
+
+        k1, ev1 = run(stream_pileup_events)
+        k2, ev2 = run(lambda q, m: stream_chrom_events(q, m))
+        assert k1 == k2, trial
+        if k1 == "ok":
+            assert len(ev1) == len(ev2), trial
+            for a, b in zip(ev1, ev2):
+                assert np.array_equal(a, b), trial
+
+
+def test_truncated_gzip_garbage_isize_fast(tmp_path, capsys):
+    """A truncated gzip whose trailing 4 bytes read as a huge ISIZE must
+    fail fast, not size (and fault) a multi-GB pooled buffer from the
+    untrusted trailer."""
+    import gzip
+    import struct
+    import time
+
+    from ngstpu.testing.fixtures import random_fastq
+
+    full = gzip.compress(random_fastq(200, read_len=60, seed=1))
+    p = tmp_path / "big_isize.fq.gz"
+    p.write_bytes(full[: len(full) // 2] + struct.pack("<I", 0xFFFFFFF0))
+    t0 = time.monotonic()
+    rc = cli_main(["fastq_count", str(p)])
+    dt = time.monotonic() - t0
+    assert rc == 1
+    assert "invalid input" in capsys.readouterr().err
+    assert dt < 30, f"truncated-gz handling took {dt:.1f}s"
