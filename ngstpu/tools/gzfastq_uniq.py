@@ -105,8 +105,8 @@ def _run_se_fast(read1: str, outfile: str, timer: StageTimer) -> bool:
     Returns False when the fast path does not apply."""
     from ..io.fastindex import index_fastq_fused, uniq_text
     from ..utils.linkprobe import link_verdict, probe_link
-    from .pipeline import (_CloningSink, _RingWriter, _sort_device,
-                           _sort_host)
+    from .pipeline import (_CloningSink, _RingWriter, _sort_device_async,
+                           _sort_host_async)
 
     if not outfile or outfile.startswith("-"):
         return False
@@ -124,9 +124,9 @@ def _run_se_fast(read1: str, outfile: str, timer: StageTimer) -> bool:
     verdict = link_verdict()
     if verdict is None:
         verdict = probe_link(words)
-    gen = (_sort_host(words, ix.seq_len, sumq, const_len)
+    gen = (_sort_host_async(words, ix.seq_len, sumq, const_len)
            if verdict == "host"
-           else _sort_device(words, ix.seq_len, sumq, bucket, const_len, W))
+           else _sort_device_async(words, ix.seq_len, sumq, bucket, const_len, W))
     n_groups = 0
     from .pipeline import _fresh
 
@@ -211,8 +211,8 @@ def _run_pe_fast(read1: str, read2: str, outfile: str,
     from ..io.fastindex import fused_pair_stats, index_fastq, uniq_text
     from ..utils.bufpool import get_buffer, get_matrix
     from ..utils.linkprobe import link_verdict, probe_link
-    from .pipeline import (CHUNK_RECORDS, _RingWriter, _sort_device,
-                           _sort_host)
+    from .pipeline import (CHUNK_RECORDS, _RingWriter, _sort_device_async,
+                           _sort_host_async)
 
     if not outfile or outfile.startswith("-"):
         return False
@@ -240,9 +240,9 @@ def _run_pe_fast(read1: str, read2: str, outfile: str,
     verdict = link_verdict()
     if verdict is None:
         verdict = probe_link(words)
-    gen = (_sort_host(words, key_lens, sumq, const_len)
+    gen = (_sort_host_async(words, key_lens, sumq, const_len)
            if verdict == "host"
-           else _sort_device(words, key_lens, sumq, bucket, const_len, W))
+           else _sort_device_async(words, key_lens, sumq, bucket, const_len, W))
     n_groups = 0
     from .pipeline import _fresh
 

@@ -159,6 +159,23 @@ def run_fast(fused, infile: str, prefix: str, start: int, end: int,
     lmax = int(ix.seq_len.max()) if B else 0
     W = words_all.shape[1]
 
+    # dispatch the dedup sort FIRST: its inputs (packed words, quality
+    # sums) are complete the moment the fused index pass returns, so the
+    # device sorts (or the host sort thread) run concurrently with the
+    # whole trim-assembly loop below instead of starting after it
+    const_len = B > 0 and int(ix.seq_len.min()) == lmax
+    from ..utils.linkprobe import link_verdict, probe_link
+
+    verdict = link_verdict()
+    if verdict is None:
+        verdict = probe_link(words_all)
+    if verdict == "host":
+        rep_groups = _sort_host_async(words_all, ix.seq_len, sumq_all,
+                                      const_len)
+    else:
+        rep_groups = _sort_device_async(words_all, ix.seq_len, sumq_all,
+                                        bucket, const_len, W)
+
     # trim: text assembled straight from the raw bytes per chunk and
     # written by the ring writer (formatting chunk k+1 overlaps writing k)
     cl = np.clip(np.minimum(ix.seq_len.astype(np.int64), end) - start, 0,
@@ -186,19 +203,6 @@ def run_fast(fused, infile: str, prefix: str, start: int, end: int,
         acc = QCAccumulator.from_host_partials(hist_q, hist_len)
         with open(prefix + ".count.tsv", "w") as out:
             out.write(_row(infile, acc))
-
-        const_len = B > 0 and int(ix.seq_len.min()) == lmax
-        from ..utils.linkprobe import link_verdict, probe_link
-
-        verdict = link_verdict()
-        if verdict is None:
-            verdict = probe_link(words_all)
-        if verdict == "host":
-            rep_groups = _sort_host(words_all, ix.seq_len, sumq_all,
-                                    const_len)
-        else:
-            rep_groups = _sort_device(words_all, ix.seq_len, sumq_all,
-                                      bucket, const_len, W)
         timer.checkpoint("dispatch")
 
         # stream the emit: format/write group block k while block k+1 is
@@ -232,13 +236,16 @@ def run_fast(fused, infile: str, prefix: str, start: int, end: int,
     return dict(n=B, n_groups=n_groups, stages=dict(timer.stages))
 
 
-def _sort_host(words_all: np.ndarray, key_lens: np.ndarray,
-               sumq_all: np.ndarray, const_len: bool):
+def _sort_host_async(words_all: np.ndarray, key_lens: np.ndarray,
+                     sumq_all: np.ndarray, const_len: bool):
     """Host placement of the dedup sort (thin accelerator link): ONE native
     call fuses the bucketed parallel sort with group/representative/count
     extraction (each bucket's groups are scanned while its rows are still
-    cache-hot), then yield group blocks for the emit pipeline."""
+    cache-hot). The call runs on a background thread STARTED NOW (ctypes
+    releases the GIL), so it fills the CPU stalls of the trim loop's ring
+    writer; the returned generator joins, then yields group blocks."""
     import ctypes
+    import threading
 
     from ..io.native import get_lib
     from ..utils.bufpool import get_buffer
@@ -249,22 +256,42 @@ def _sort_host(words_all: np.ndarray, key_lens: np.ndarray,
     rep = get_buffer("pipe.rep", 8 * B, np.int64)[:B]
     counts = get_buffer("pipe.cnt", 8 * B, np.int64)[:B]
     lens = np.ascontiguousarray(key_lens, np.int32)
-    g = lib.ngs_dedup_groups_host(
-        words_all, lens.ctypes.data_as(ctypes.c_void_p), sumq_all,
-        0 if const_len else 1, B, words_all.shape[1], perm, rep, counts, 0)
-    step = 1 << 19
-    for lo in range(0, g, step):
-        hi = min(lo + step, g)
-        yield rep[lo:hi], counts[lo:hi]
+    box: list = []
+
+    def run():
+        try:
+            box.append(lib.ngs_dedup_groups_host(
+                words_all, lens.ctypes.data_as(ctypes.c_void_p), sumq_all,
+                0 if const_len else 1, B, words_all.shape[1], perm, rep,
+                counts, 0))
+        except BaseException as e:  # pragma: no cover - surfaced on join
+            box.append(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+
+    def gen():
+        t.join()
+        if box and isinstance(box[0], BaseException):
+            raise box[0]
+        g = box[0]
+        step = 1 << 19
+        for lo in range(0, g, step):
+            hi = min(lo + step, g)
+            yield rep[lo:hi], counts[lo:hi]
+
+    return gen()
 
 
-def _sort_device(words_all: np.ndarray, key_lens: np.ndarray,
-                 sumq_all: np.ndarray, bucket: np.ndarray, const_len: bool,
-                 W: int):
+def _sort_device_async(words_all: np.ndarray, key_lens: np.ndarray,
+                       sumq_all: np.ndarray, bucket: np.ndarray,
+                       const_len: bool, W: int):
     """Device placement: partition rows by leading packed byte (prefix
-    order == sdscmp order on the 2-bit alphabet), dispatch one LSD sort per
-    partition, and yield each partition's groups as its results land — the
-    emit of partition p overlaps the sort of partition p+1."""
+    order == sdscmp order on the 2-bit alphabet) and dispatch one async
+    LSD sort per partition IMMEDIATELY — the device sorts all partitions
+    while the caller's trim loop runs; the returned generator then yields
+    each partition's groups as its results land (the emit of partition p
+    still overlaps the pull of partition p+1)."""
     from ..ops.sortengine import rep_counts_host, sort_partition
     from ..utils.bufpool import get_buffer, get_matrix
 
@@ -297,12 +324,16 @@ def _sort_device(words_all: np.ndarray, key_lens: np.ndarray,
                                        length_key=not const_len,
                                        maybe_padding=cap > n_p)
         handles.append((perm, is_head, idx_p, n_p))
-    for perm_d, is_head_d, idx_p, n_p in handles:
-        perm = np.asarray(perm_d)[:n_p]
-        is_head = np.asarray(is_head_d)[:n_p]
-        rep_local, counts = rep_counts_host(perm, is_head, n_p,
-                                            sumq_all[idx_p])
-        yield idx_p[rep_local], counts
+
+    def gen():
+        for perm_d, is_head_d, idx_p, n_p in handles:
+            perm = np.asarray(perm_d)[:n_p]
+            is_head = np.asarray(is_head_d)[:n_p]
+            rep_local, counts = rep_counts_host(perm, is_head, n_p,
+                                                sumq_all[idx_p])
+            yield idx_p[rep_local], counts
+
+    return gen()
 
 
 def run_generic(infile: str, prefix: str, start: int, end: int,
