@@ -378,6 +378,7 @@ def stream_depth_dense(path: str, flag_mask: int,
         ev_counts = np.zeros(n_refs, np.int64)
         # [monotone, last passing tid, mode (1 fast / 0 handshake / -1 undo)]
         state = np.array([1, -1, 0], np.int32)
+        warned_unsorted = False
         emitted = 0
         empty = np.zeros(1, np.int32)
         free_list: list = []
@@ -516,6 +517,18 @@ def stream_depth_dense(path: str, flag_mask: int,
                     yield a, c
                     if recycle and a is not empty:
                         free_list.append(a)
+            elif not warned_unsorted and sum(ref_lens) > prealloc_max:
+                # interleaved tids on a WGS-sized genome: every touched
+                # chromosome's array now stays resident until EOF (can
+                # reach genome_size x 4 bytes). Outputs stay correct;
+                # advise the cheap fix once (round-2 advisory).
+                warned_unsorted = True
+                import sys as _sys
+
+                _sys.stderr.write(
+                    "ngstpu: BAM is not coordinate-grouped; dense pileup "
+                    "holds every touched chromosome in memory until EOF "
+                    "- coordinate-sort the input to bound RSS\n")
             if final:
                 break
         inf.close()
