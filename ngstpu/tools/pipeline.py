@@ -32,7 +32,7 @@ import threading
 import numpy as np
 import jax.numpy as jnp
 
-from ..io.fastq import format_fastq, read_fastq_file
+from ..io.fastq import format_fastq
 from ..ops.count import QCAccumulator
 from ..ops.sortengine import sum_quality_host
 from ..utils.timing import StageTimer
