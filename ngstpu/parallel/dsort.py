@@ -220,7 +220,18 @@ def distributed_sort(mesh: Mesh, words: np.ndarray, lens: np.ndarray,
                     jax.device_put(lens.astype(np.int32), shard1),
                     jax.device_put(gidx, shard1),
                     jax.device_put(valid, shard1))
-        oi, ov = np.asarray(oi), np.asarray(ov)
+        if any(d.process_index != jax.process_index()
+               for d in mesh.devices.flat):
+            # multi-controller: only local shards are addressable; tiled
+            # process_allgather reassembles the dp-major global layout
+            from jax.experimental import multihost_utils
+
+            oi = np.asarray(multihost_utils.process_allgather(oi,
+                                                              tiled=True))
+            ov = np.asarray(multihost_utils.process_allgather(ov,
+                                                              tiled=True))
+        else:
+            oi, ov = np.asarray(oi), np.asarray(ov)
     if int(ov.sum()) != B:
         raise RuntimeError(
             f"bucket overflow: kept {int(ov.sum())} of {B} rows — "

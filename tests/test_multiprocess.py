@@ -112,3 +112,49 @@ def test_two_process_distributed_dedup(tmp_path):
     single = np.concatenate([keys.reshape(-1).astype(np.int64),
                              klens.astype(np.int64), counts, rep])
     assert np.array_equal(mp0, single)
+
+
+_CHILD_SORT = r"""
+import os, re, sys
+rank = int(sys.argv[1]); port = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+               os.environ.get("XLA_FLAGS", ""))
+os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=2, process_id=rank)
+sys.path.insert(0, sys.argv[3])
+import numpy as np
+from ngstpu.parallel.dsort import distributed_sort
+from ngstpu.parallel.mesh import make_mesh
+rng = np.random.default_rng(9)
+B, W = 1200, 3
+words = rng.integers(0, 64, (B, W)).astype(np.uint32)
+lens = rng.integers(8, 12, B).astype(np.int32)
+perm = distributed_sort(make_mesh(2), words, lens)
+np.save(sys.argv[4] + f"/mpsort{rank}.npy", np.asarray(perm, np.int64))
+print("OK", len(perm))
+"""
+
+
+def test_two_process_distributed_sort(tmp_path):
+    """The sample-sort distributed ordered sort across REAL process
+    boundaries: both ranks agree and match the single-process permutation
+    bit-for-bit (gzfastq_sort -m semantics over a true 2-process mesh)."""
+    import numpy as np
+
+    _run_pair(tmp_path, _CHILD_SORT, "19743", [str(tmp_path)])
+    mp0 = np.load(tmp_path / "mpsort0.npy")
+    mp1 = np.load(tmp_path / "mpsort1.npy")
+    assert np.array_equal(mp0, mp1)
+
+    from ngstpu.parallel.dsort import distributed_sort
+    from ngstpu.parallel.mesh import make_mesh
+    rng = np.random.default_rng(9)
+    B, W = 1200, 3
+    words = rng.integers(0, 64, (B, W)).astype(np.uint32)
+    lens = rng.integers(8, 12, B).astype(np.int32)
+    perm = np.asarray(distributed_sort(make_mesh(2), words, lens), np.int64)
+    assert np.array_equal(mp0, perm)
