@@ -604,6 +604,9 @@ def stream_pileup_events(path: str, flag_mask: int,
             pieces = pending.pop(t, None)
             if not pieces:
                 return empty
+            # layout [all starts | all ends] (chunk order preserved): the
+            # starts half of a coordinate-sorted input is ascending, which
+            # merged_intervals_runs exploits to sort only the ends half
             ns = sum(len(s) for s, _ in pieces)
             pos = np.empty(2 * ns, np.int32)
             delta = np.empty(2 * ns, np.int32)
@@ -611,10 +614,10 @@ def stream_pileup_events(path: str, flag_mask: int,
             for s, e in pieces:
                 k = len(s)
                 pos[o:o + k] = s
-                pos[o + k:o + 2 * k] = e
-                delta[o:o + k] = 1
-                delta[o + k:o + 2 * k] = -1
-                o += 2 * k
+                pos[ns + o:ns + o + k] = e
+                o += k
+            delta[:ns] = 1
+            delta[ns:] = -1
             return pos, delta
 
         mono_state = np.array([1, -1], np.int32)

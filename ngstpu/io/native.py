@@ -188,6 +188,9 @@ def get_lib() -> ctypes.CDLL | None:
         lib.ngs_pileup_sweep.restype = _i64
         lib.ngs_pileup_sweep.argtypes = [_p_i32, _p_i32, _i64, _p_i64,
                                          _p_i64, _int]
+        lib.ngs_pileup_sweep_se.restype = _i64
+        lib.ngs_pileup_sweep_se.argtypes = [_p_i32, _p_i32, _i64, _p_i64,
+                                            _p_i64, _int]
         lib.ngs_bam_depth_scan.restype = _i64
         lib.ngs_bam_depth_scan.argtypes = [
             _p_u8, _i64,

@@ -1615,6 +1615,98 @@ void ngs_bam_scan(const uint8_t* buf, int64_t n,
 // reference bam2depth.c:203-236, hashtbl.c:275-297).
 // Returns the number of unique positions; u_pos/u_depth sized >= n by caller.
 // ---------------------------------------------------------------------------
+// Specialized sweep for runs laid out as (starts, ends) — the event-mode
+// pileup layout. Starts from a coordinate-sorted BAM are MOSTLY ascending
+// (every record's first M run begins at its ascending pos; only later
+// runs of multi-M cigars jump ahead), so one pass splits them into the
+// greedy nondecreasing main stream plus an "extras" remainder; only the
+// extras and the ends pay the 2x16-bit radix, and the sweep is a 3-way
+// merge. Fully general: any starts order works (worst case everything is
+// an extra and the cost matches ngs_pileup_sweep). Output is identical to
+// ngs_pileup_sweep over the combined (+1/-1) events.
+static void radix_sort_i32(std::vector<int32_t>& v) {
+    int64_t n = (int64_t)v.size();
+    if (n < 2) return;
+    std::vector<int32_t> tmp(n);
+    std::vector<int64_t> hist(1 << 16);
+    for (int64_t i = 0; i < n; ++i)
+        v[i] = (int32_t)(((uint32_t)v[i]) ^ 0x80000000u);
+    int32_t* src = v.data();
+    int32_t* dst = tmp.data();
+    for (int shift = 0; shift < 32; shift += 16) {
+        std::fill(hist.begin(), hist.end(), 0);
+        for (int64_t i = 0; i < n; ++i)
+            ++hist[((uint32_t)src[i] >> shift) & 0xFFFF];
+        int64_t run = 0;
+        for (int64_t d = 0; d < (1 << 16); ++d) {
+            int64_t c = hist[d];
+            hist[d] = run;
+            run += c;
+        }
+        for (int64_t i = 0; i < n; ++i)
+            dst[hist[((uint32_t)src[i] >> shift) & 0xFFFF]++] = src[i];
+        std::swap(src, dst);
+    }
+    for (int64_t i = 0; i < n; ++i)
+        v[i] = (int32_t)(((uint32_t)v[i]) ^ 0x80000000u);
+}
+
+int64_t ngs_pileup_sweep_se(const int32_t* starts, const int32_t* ends,
+                            int64_t n, int64_t* u_pos, int64_t* u_depth,
+                            int nthreads) {
+    (void)nthreads;
+    if (n == 0) return 0;
+    // greedy monotone cover of starts: main (ascending in place order)
+    // vs extras (later multi-M runs overtaken by the running max)
+    std::vector<int32_t> main_s;
+    std::vector<int32_t> extra_s;
+    main_s.reserve(n);
+    int32_t run_max = starts[0];
+    for (int64_t i = 0; i < n; ++i) {
+        if (starts[i] >= run_max) {
+            run_max = starts[i];
+            main_s.push_back(starts[i]);
+        } else {
+            extra_s.push_back(starts[i]);
+        }
+    }
+    radix_sort_i32(extra_s);
+    std::vector<int32_t> se(ends, ends + n);
+    radix_sort_i32(se);
+    // 3-way merge sweep over (main_s, extra_s, se)
+    int64_t i = 0, j = 0, k = 0, out = 0, depth = 0;
+    int64_t nm = (int64_t)main_s.size(), ne = (int64_t)extra_s.size();
+    bool first = true;
+    int64_t cur = 0;
+    while (i < nm || j < ne || k < n) {
+        int64_t p;
+        int64_t d;
+        int32_t pm = i < nm ? main_s[i] : 0;
+        int32_t pe = j < ne ? extra_s[j] : 0;
+        bool take_main = i < nm && (j >= ne || pm <= pe);
+        int32_t ps = take_main ? pm : pe;
+        bool have_s = (i < nm) || (j < ne);
+        if (have_s && (k >= n || ps <= se[k])) {
+            p = ps;
+            d = 1;
+            if (take_main) ++i; else ++j;
+        } else {
+            p = se[k++];
+            d = -1;
+        }
+        if (first) { cur = p; first = false; }
+        if (p != cur) {
+            u_pos[out] = cur;
+            u_depth[out++] = depth;
+            cur = p;
+        }
+        depth += d;
+    }
+    u_pos[out] = cur;
+    u_depth[out++] = depth;
+    return out;
+}
+
 int64_t ngs_pileup_sweep(const int32_t* pos, const int32_t* delta, int64_t n,
                          int64_t* u_pos, int64_t* u_depth, int nthreads) {
     if (n == 0) return 0;

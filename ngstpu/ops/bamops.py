@@ -238,6 +238,12 @@ def merged_intervals(pos: np.ndarray, delta: np.ndarray,
                       _time.monotonic() - t0)
         u_pos = s_pos[is_last].astype(np.int64)
         u_depth = cum[is_last].astype(np.int64)
+    return _intervals_from_sweep(u_pos, u_depth)
+
+
+def _intervals_from_sweep(u_pos: np.ndarray, u_depth: np.ndarray):
+    """(unique position, cumulative depth) rows -> merged bedGraph
+    intervals with depth > 0."""
     if len(u_pos) == 0:
         z = np.zeros(0, np.int64)
         return z, z, z
@@ -254,6 +260,33 @@ def merged_intervals(pos: np.ndarray, delta: np.ndarray,
     depths = b_depth[:-1]
     nz = depths > 0
     return starts[nz], ends[nz], depths[nz]
+
+
+def merged_intervals_runs(pos: np.ndarray, delta: np.ndarray,
+                          placement: str | None = None):
+    """merged_intervals for events in the stream_pileup_events flush
+    layout ([all starts | all ends], delta [+1... | -1...]): the native
+    split sweep (ngs_pileup_sweep_se) peels the mostly-ascending starts
+    of a coordinate-sorted BAM into a monotone main stream, radix-sorts
+    only the small multi-M-run remainder plus the ends, and 3-way merges
+    — roughly halving the generic sweep's sort work (any starts order is
+    handled; a layout violation falls back with identical output)."""
+    n = len(pos)
+    ns = n // 2
+    if placement == "host" and n and ns * 2 == n:
+        from ..io.native import get_lib
+
+        lib = get_lib()
+        starts, ends = pos[:ns], pos[ns:]
+        if (lib is not None and (delta[:ns] == 1).all()
+                and (delta[ns:] == -1).all()):
+            u_pos = np.empty(n, np.int64)
+            u_depth = np.empty(n, np.int64)
+            k = lib.ngs_pileup_sweep_se(
+                np.ascontiguousarray(starts, np.int32),
+                np.ascontiguousarray(ends, np.int32), ns, u_pos, u_depth, 0)
+            return _intervals_from_sweep(u_pos[:k], u_depth[:k])
+    return merged_intervals(pos, delta, placement)
 
 
 def depth_window_bins(starts, ends, depths, window: int,

@@ -28,17 +28,18 @@ import numpy as np
 from ..io.bam import DEF_MASK, DensePileupUnsupported
 from ..io.native import format_int3_rows
 from ..io.stream import open_text_output, with_suffix
-from ..ops.bamops import (depth_window_bins, merged_intervals,
-                          stream_chrom_events)
+from ..ops.bamops import depth_window_bins, stream_chrom_events
 from ..utils.timing import StageTimer
 
 
 def _sparse_rows_and_bins(header, events, window: int,
                           placement: str | None):
+    from ..ops.bamops import merged_intervals_runs
+
     for (name, tlen), (pos, delta) in zip(
             zip(header.ref_names, header.ref_lens), events):
         n_windows = tlen // window + 1
-        starts, ends, depths = merged_intervals(pos, delta, placement)
+        starts, ends, depths = merged_intervals_runs(pos, delta, placement)
         rows_b = (format_int3_rows(name.encode(), starts, ends, depths)
                   if len(starts) else b"")
         yield rows_b, depth_window_bins(starts, ends, depths, window,

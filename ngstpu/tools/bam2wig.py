@@ -35,9 +35,11 @@ def process_bam(path: str, index1: int, outfile: str, window: int,
         # low-depth WGS shape: O(events) radix sweep (see bam2depth)
         ev = stream_pileup_events(path, FUNMAP)
         if ev is not None:
+            from ..ops.bamops import merged_intervals_runs
+
             header, events = ev
             _emit_wig(path, header,
-                      _prefetch1(merged_intervals(pos, delta, "host")
+                      _prefetch1(merged_intervals_runs(pos, delta, "host")
                                  for pos, delta in events),
                       index1, outfile, window, timer)
             return

@@ -225,3 +225,50 @@ def test_stream_pileup_events_truncated_raises(tmp_path, bam):
     got = stream_pileup_events(str(p2), DEF_MASK, chunk_bytes=1 << 14)
     with pytest.raises(ValueError):
         list(got[1])
+
+
+def test_pileup_sweep_se_matches_generic():
+    """ngs_pileup_sweep_se (sorted starts + radix ends + merge) must equal
+    ngs_pileup_sweep over the combined events; merged_intervals_runs must
+    fall back when the starts half is not ascending."""
+    from ngstpu.io.native import get_lib
+    from ngstpu.ops.bamops import merged_intervals, merged_intervals_runs
+
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(23)
+    for trial, (n, sort_starts) in enumerate(
+            [(1, True), (5, True), (1000, True), (200000, True),
+             (1000, False), (200000, False)]):  # unsorted: all-extras path
+        starts = rng.integers(0, 1 << 27, n).astype(np.int32)
+        if sort_starts:
+            starts = np.sort(starts)
+        ends = starts + rng.integers(1, 300, n).astype(np.int32)
+        u_pos = np.empty(2 * n, np.int64)
+        u_dep = np.empty(2 * n, np.int64)
+        k = lib.ngs_pileup_sweep_se(starts, np.ascontiguousarray(ends), n,
+                                    u_pos, u_dep, 0)
+        pos = np.concatenate([starts, ends]).astype(np.int32)
+        delta = np.concatenate([np.ones(n, np.int32),
+                                -np.ones(n, np.int32)])
+        e_pos = np.empty(2 * n, np.int64)
+        e_dep = np.empty(2 * n, np.int64)
+        ke = lib.ngs_pileup_sweep(pos, delta, 2 * n, e_pos, e_dep, 0)
+        assert k == ke and (u_pos[:k] == e_pos[:k]).all() \
+            and (u_dep[:k] == e_dep[:k]).all(), trial
+
+        got = merged_intervals_runs(pos, delta, "host")
+        exp = merged_intervals(pos.copy(), delta.copy(), "host")
+        for a, b in zip(got, exp):
+            assert np.array_equal(a, b), trial
+
+    # non-ascending starts: handled by the extras partition, same output
+    starts = np.array([100, 50, 200], np.int32)
+    ends = starts + 30
+    pos = np.concatenate([starts, ends]).astype(np.int32)
+    delta = np.concatenate([np.ones(3, np.int32), -np.ones(3, np.int32)])
+    got = merged_intervals_runs(pos, delta, "host")
+    exp = merged_intervals(pos.copy(), delta.copy(), "host")
+    for a, b in zip(got, exp):
+        assert np.array_equal(a, b)
