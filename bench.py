@@ -83,6 +83,57 @@ def time_ngstpu_once(path: pathlib.Path, workdir: pathlib.Path):
     return time.monotonic() - t0, info["stages"]
 
 
+def ensure_gz_fixture(plain: pathlib.Path) -> pathlib.Path | None:
+    """Gzip twin of the composite fixture (BASELINE config 2's transparent
+    gzip-input shape). Written once with the parallel multi-member writer;
+    the C tools read it through gzdopen like any .gz."""
+    p = plain.with_suffix(".fq.gz")
+    if p.exists():
+        return p
+    try:
+        from ngstpu.io.stream import ParallelGzipWriter
+
+        with open(p, "wb") as f:
+            w = ParallelGzipWriter(f)
+            data = plain.read_bytes()
+            step = 64 << 20
+            for lo in range(0, len(data), step):
+                w.write(data[lo:lo + step])
+            w.close()
+        return p
+    except Exception:  # noqa: BLE001 - extra metric only
+        return None
+
+
+def bench_gz_composite(workdir: pathlib.Path) -> dict | None:
+    """count+trim+uniq on the GZIP input (the same fused pipeline through
+    the pooled-inflate fast path vs the C tools' per-process zlib reads)."""
+    plain = ensure_fixture()
+    gz = ensure_gz_fixture(plain)
+    if gz is None:
+        return None
+    cmds = c_composite_cmds(gz, workdir)
+    time_ngstpu_once(gz, workdir)  # warm
+    c_best, ours_best = None, None
+    for _ in range(2):
+        if cmds is not None:
+            c = time_c(cmds, workdir)
+            if c is not None and (c_best is None or c < c_best):
+                c_best = c
+        for _ in range(2):
+            dt, _st = time_ngstpu_once(gz, workdir)
+            if ours_best is None or dt < ours_best:
+                ours_best = dt
+    rps = N_READS / ours_best
+    vs = (c_best / ours_best) if c_best else 0.0
+    sys.stderr.write(
+        f"[bench] gz composite ours={ours_best:.2f}s "
+        f"C_ref={'%.2f' % c_best if c_best else 'n/a'}s speedup={vs:.2f}x\n")
+    return {"metric": "count_trim_uniq_gz_reads_per_sec",
+            "value": round(rps, 1), "unit": "reads/s",
+            "vs_baseline": round(vs, 3)}
+
+
 def bench_pileup() -> dict:
     """BASELINE metric #2 (bam2depth bp/s), folded into the same JSON."""
     env = dict(os.environ)
@@ -157,13 +208,17 @@ def main() -> None:
         f"composite(count+trim+uniq) ours={ours_best:.2f}s ({rps:,.0f} r/s) "
         f"C_ref={'%.2f' % c_best if c_best else 'n/a'}s "
         f"speedup={vs:.2f}x stages: {stage_str}\n")
-    pileup = bench_pileup()
+    extras = []
+    gz = bench_gz_composite(workdir)
+    if gz is not None:
+        extras.append(gz)
+    extras.append(bench_pileup())
     _emit({
         "metric": "count_trim_uniq_reads_per_sec",
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(vs, 3),
-        "extra_metrics": [pileup],
+        "extra_metrics": extras,
     })
 
 
