@@ -246,6 +246,27 @@ class BamStream:
             yield scan_records(body, strict=True)
 
 
+def _header_from_inflater(inf) -> tuple[BamHeader, bytes]:
+    """Decode the BAM header prologue from a PooledInflater, closing it on
+    any failure. Returns (header, initial record-byte carry)."""
+    buf = b""
+    try:
+        while True:
+            if len(buf) >= 4 and buf[:4] != BAM_MAGIC:
+                raise ValueError("not a BAM file")
+            try:
+                header, body_off = parse_header(buf)
+                return header, buf[body_off:]
+            except (ValueError, IndexError, struct.error):
+                nxt = inf.next_chunk(b"")
+                if nxt is None:
+                    raise ValueError("truncated BAM header")
+                buf += nxt.tobytes()
+    except BaseException:
+        inf.close()
+        raise
+
+
 def read_bam_header(path: str) -> BamHeader:
     """Decode just the BAM header (a few BGZF blocks): gzip-stream the
     prefix until parse_header succeeds. Cheap enough to drive dispatch
@@ -348,19 +369,7 @@ def stream_depth_dense(path: str, flag_mask: int,
     from .bgzf import PooledInflater
 
     inf = PooledInflater(path, chunk_bytes, pool="bamdense.chunk")
-    buf = b""
-    while True:
-        if len(buf) >= 4 and buf[:4] != BAM_MAGIC:
-            raise ValueError("not a BAM file")
-        try:
-            header, body_off = parse_header(buf)
-            break
-        except (ValueError, IndexError, struct.error):
-            nxt = inf.next_chunk(b"")
-            if nxt is None:
-                raise ValueError("truncated BAM header")
-            buf += nxt.tobytes()
-    initial_carry = buf[body_off:]
+    header, initial_carry = _header_from_inflater(inf)
     n_refs = header.n_refs
     ref_lens = header.ref_lens
 
@@ -566,118 +575,115 @@ def stream_pileup_events(path: str, flag_mask: int,
     the stream moves past its tid; interleaved tids accumulate until EOF;
     a tid reappearing after emission is dropped like both other paths.
     """
-    import ctypes
-
     from .native import get_lib
 
     lib = get_lib()
     if lib is None:
         return None
-    from ..utils.bufpool import get_buffer
     from .bgzf import PooledInflater
 
     inf = PooledInflater(path, chunk_bytes, pool="bamev.chunk",
                          prefetch=True)
-    buf = b""
-    while True:
-        if len(buf) >= 4 and buf[:4] != BAM_MAGIC:
-            raise ValueError("not a BAM file")
-        try:
-            header, body_off = parse_header(buf)
-            break
-        except (ValueError, IndexError, struct.error):
-            nxt = inf.next_chunk(b"")
-            if nxt is None:
-                raise ValueError("truncated BAM header")
-            buf += nxt.tobytes()
-    initial_carry = buf[body_off:]
+    header, initial_carry = _header_from_inflater(inf)
     n_refs = header.n_refs
 
     def gen():
-        pending: dict[int, list] = {}
-        emitted = 0
-        monotone = True
-        last_tid = -1
-        empty = (np.zeros(0, np.int32), np.zeros(0, np.int32))
-
-        def flush(t):
-            pieces = pending.pop(t, None)
-            if not pieces:
-                return empty
-            # layout [all starts | all ends] (chunk order preserved): the
-            # starts half of a coordinate-sorted input is ascending, which
-            # merged_intervals_runs exploits to sort only the ends half
-            ns = sum(len(s) for s, _ in pieces)
-            pos = np.empty(2 * ns, np.int32)
-            delta = np.empty(2 * ns, np.int32)
-            o = 0
-            for s, e in pieces:
-                k = len(s)
-                pos[o:o + k] = s
-                pos[ns + o:ns + o + k] = e
-                o += k
-            delta[:ns] = 1
-            delta[ns:] = -1
-            return pos, delta
-
-        mono_state = np.array([1, -1], np.int32)
-        carry = np.frombuffer(initial_carry, np.uint8)
-        final = False
-        while True:
-            body = inf.next_chunk(carry)
-            if body is None:
-                body = carry
-                final = True
-            if len(body) == 0 and final:
-                break
-            body = np.ascontiguousarray(body)
-            n_rec = ctypes.c_int64()
-            n_cig = ctypes.c_int64()
-            rc = lib.ngs_bam_count(body, len(body), ctypes.byref(n_rec),
-                                   ctypes.byref(n_cig))
-            if rc == 2 or (rc == 1 and final):
-                # re-walk with the columnar scanner for its precise
-                # malformed/truncated diagnostics (raises)
-                scan_records(body, strict=final)
-                raise ValueError("truncated BAM record at end of file")
-            C = int(n_cig.value)
-            tid_b = get_buffer("bamev.tid", 4 * max(C, 1), np.int32)
-            st_b = get_buffer("bamev.start", 4 * max(C, 1), np.int32)
-            en_b = get_buffer("bamev.end", 4 * max(C, 1), np.int32)
-            n_ev = ctypes.c_int64()
-            consumed_c = ctypes.c_int64()
-            lib.ngs_bam_m_events(body, len(body), flag_mask, tid_b, st_b,
-                                 en_b, ctypes.byref(n_ev),
-                                 ctypes.byref(consumed_c), mono_state)
-            E = int(n_ev.value)
-            consumed = int(consumed_c.value)
-            if E:
-                tids = tid_b[:E]
-                ss, se = st_b[:E], en_b[:E]
-                if not mono_state[0] and (np.diff(tids) < 0).any():
-                    order = np.argsort(tids, kind="stable")
-                    tids, ss, se = tids[order], ss[order], se[order]
-                bounds = np.searchsorted(
-                    tids, np.arange(int(tids[0]), int(tids[-1]) + 2))
-                for i, t in enumerate(range(int(tids[0]),
-                                            int(tids[-1]) + 1)):
-                    lo, hi = int(bounds[i]), int(bounds[i + 1])
-                    if lo < hi:
-                        pending.setdefault(t, []).append(
-                            (ss[lo:hi].copy(), se[lo:hi].copy()))
-            if mono_state[0]:
-                while emitted < mono_state[1] and emitted < n_refs:
-                    yield flush(emitted)
-                    emitted += 1
-            if final:
-                break
-            carry = body[consumed:]
-        inf.close()
-        while emitted < n_refs:
-            yield flush(emitted)
-            emitted += 1
+        try:
+            yield from _gen_events(inf, initial_carry, n_refs, flag_mask,
+                                   lib)
+        finally:
+            # abandoned-generator / error path: release the fd and unpark
+            # the prefetch producer thread
+            inf.close()
 
     return header, gen()
+
+
+def _gen_events(inf, initial_carry: bytes, n_refs: int, flag_mask: int,
+                lib):
+    import ctypes
+
+    from ..utils.bufpool import get_buffer
+
+    pending: dict[int, list] = {}
+    emitted = 0
+    empty = (np.zeros(0, np.int32), np.zeros(0, np.int32))
+
+    def flush(t):
+        pieces = pending.pop(t, None)
+        if not pieces:
+            return empty
+        # layout [all starts | all ends] (chunk order preserved): the
+        # starts half of a coordinate-sorted input is ascending, which
+        # merged_intervals_runs exploits to sort only the ends half
+        ns = sum(len(s) for s, _ in pieces)
+        pos = np.empty(2 * ns, np.int32)
+        delta = np.empty(2 * ns, np.int32)
+        o = 0
+        for s, e in pieces:
+            k = len(s)
+            pos[o:o + k] = s
+            pos[ns + o:ns + o + k] = e
+            o += k
+        delta[:ns] = 1
+        delta[ns:] = -1
+        return pos, delta
+
+    mono_state = np.array([1, -1], np.int32)
+    carry = np.frombuffer(initial_carry, np.uint8)
+    final = False
+    while True:
+        body = inf.next_chunk(carry)
+        if body is None:
+            body = carry
+            final = True
+        if len(body) == 0 and final:
+            break
+        body = np.ascontiguousarray(body)
+        n_rec = ctypes.c_int64()
+        n_cig = ctypes.c_int64()
+        rc = lib.ngs_bam_count(body, len(body), ctypes.byref(n_rec),
+                               ctypes.byref(n_cig))
+        if rc == 2 or (rc == 1 and final):
+            # re-walk with the columnar scanner for its precise
+            # malformed/truncated diagnostics (raises)
+            scan_records(body, strict=final)
+            raise ValueError("truncated BAM record at end of file")
+        C = int(n_cig.value)
+        tid_b = get_buffer("bamev.tid", 4 * max(C, 1), np.int32)
+        st_b = get_buffer("bamev.start", 4 * max(C, 1), np.int32)
+        en_b = get_buffer("bamev.end", 4 * max(C, 1), np.int32)
+        n_ev = ctypes.c_int64()
+        consumed_c = ctypes.c_int64()
+        lib.ngs_bam_m_events(body, len(body), n_refs, flag_mask, tid_b,
+                             st_b, en_b, ctypes.byref(n_ev),
+                             ctypes.byref(consumed_c), mono_state)
+        E = int(n_ev.value)
+        consumed = int(consumed_c.value)
+        if E:
+            tids = tid_b[:E]
+            ss, se = st_b[:E], en_b[:E]
+            if not mono_state[0] and (np.diff(tids) < 0).any():
+                order = np.argsort(tids, kind="stable")
+                tids, ss, se = tids[order], ss[order], se[order]
+            bounds = np.searchsorted(
+                tids, np.arange(int(tids[0]), int(tids[-1]) + 2))
+            for i, t in enumerate(range(int(tids[0]),
+                                        int(tids[-1]) + 1)):
+                lo, hi = int(bounds[i]), int(bounds[i + 1])
+                if lo < hi:
+                    pending.setdefault(t, []).append(
+                        (ss[lo:hi].copy(), se[lo:hi].copy()))
+        if mono_state[0]:
+            while emitted < mono_state[1] and emitted < n_refs:
+                yield flush(emitted)
+                emitted += 1
+        if final:
+            break
+        carry = body[consumed:]
+    while emitted < n_refs:
+        yield flush(emitted)
+        emitted += 1
 
 
 def read_bam_region(path: str, ref_name_or_tid, beg: int, end: int

@@ -183,7 +183,7 @@ def get_lib() -> ctypes.CDLL | None:
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"), _int]
         lib.ngs_bam_m_events.restype = _int
         lib.ngs_bam_m_events.argtypes = [
-            _p_u8, _i64, _i32, _p_i32, _p_i32, _p_i32,
+            _p_u8, _i64, _i32, _i32, _p_i32, _p_i32, _p_i32,
             ctypes.POINTER(_i64), ctypes.POINTER(_i64), _p_i32]
         lib.ngs_pileup_sweep.restype = _i64
         lib.ngs_pileup_sweep.argtypes = [_p_i32, _p_i32, _i64, _p_i64,

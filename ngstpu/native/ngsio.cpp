@@ -1467,8 +1467,9 @@ int ngs_bam_count(const uint8_t* buf, int64_t n, int64_t* n_rec,
 // last passing tid} persists across chunks (the early-emission tracking
 // of the python grouping loop). Returns 0 (all bytes consumed), 1
 // (trailing partial record; *consumed set), 2 (malformed record).
-int ngs_bam_m_events(const uint8_t* buf, int64_t n, int32_t flag_mask,
-                     int32_t* out_tid, int32_t* out_start, int32_t* out_end,
+int ngs_bam_m_events(const uint8_t* buf, int64_t n, int32_t n_refs,
+                     int32_t flag_mask, int32_t* out_tid,
+                     int32_t* out_start, int32_t* out_end,
                      int64_t* n_events, int64_t* consumed,
                      int32_t* mono_state) {
     int64_t o = 0, ev = 0;
@@ -1499,7 +1500,11 @@ int ngs_bam_m_events(const uint8_t* buf, int64_t n, int32_t flag_mask,
         int32_t tid, pos;
         memcpy(&tid, r, 4);
         memcpy(&pos, r + 4, 4);
-        if ((flag & flag_mask) == 0 && tid >= 0) {
+        // tid outside the header is skipped entirely (including the
+        // monotone tracking) exactly like ngs_bam_depth_scan — otherwise
+        // one corrupt tid would poison last_tid and silently flush every
+        // later chromosome early
+        if ((flag & flag_mask) == 0 && tid >= 0 && tid < n_refs) {
             if (mono && tid < last_tid) mono = 0;
             if (mono) last_tid = tid;
             const uint8_t* cg = r + 32 + l_read_name;

@@ -87,7 +87,11 @@ def stream_chrom_events(path: str, flag_mask: int,
             return pos, delta
 
         for cols in stream:
-            mask = ((cols.flag & flag_mask) == 0) & (cols.tid >= 0)
+            # tid outside the header is skipped INCLUDING the monotone
+            # tracking (like the native scanners): one corrupt huge tid
+            # must not poison last_tid and flush later chromosomes early
+            mask = ((cols.flag & flag_mask) == 0) & (cols.tid >= 0) \
+                & (cols.tid < n_refs)
             tids, starts, ends = cigar_m_events(cols, mask)
             if len(tids):
                 order = np.argsort(tids, kind="stable")

@@ -272,3 +272,76 @@ def test_pileup_sweep_se_matches_generic():
     exp = merged_intervals(pos.copy(), delta.copy(), "host")
     for a, b in zip(got, exp):
         assert np.array_equal(a, b)
+
+
+def test_out_of_range_tid_does_not_poison_event_stream(tmp_path):
+    """A record whose tid is outside the header must be skipped WITHOUT
+    entering the monotone tracking: previously one corrupt tid flushed
+    every later chromosome early, silently emptying them. All three
+    engines must agree and keep chromosome 2's events."""
+    from ngstpu.io.bam import (DEF_MASK, stream_depth_dense,
+                               stream_pileup_events)
+    from ngstpu.ops.bamops import stream_chrom_events
+    from ngstpu.testing.bamfixtures import encode_record, make_bam
+
+    seq = "ACGT" * 25
+    recs = [encode_record(f"a{i}", 0, 10 + i, 30, "100M", seq)
+            for i in range(30)]
+    recs += [encode_record("bad", 50, 99, 30, "100M", seq)]  # tid=50
+    recs += [encode_record(f"b{i}", 1, 5 + i, 30, "100M", seq)
+             for i in range(20)]
+    bam = tmp_path / "oob.bam"
+    make_bam(str(bam), [("c1", 5000), ("c2", 4000)], recs)
+
+    results = []
+    for name, get in [
+            ("events", lambda: stream_pileup_events(str(bam), DEF_MASK,
+                                                    chunk_bytes=2048)),
+            ("sparse", lambda: stream_chrom_events(str(bam), DEF_MASK,
+                                                   chunk_bytes=2048))]:
+        got = get()
+        if got is None:
+            pytest.skip("native library unavailable")
+        out = [np.sort(p.astype(np.int64) * 4 + (d + 1))
+               for p, d in got[1]]
+        results.append(out)
+        assert len(out[1]) == 40, f"{name}: chromosome 2 lost"
+    for a, b in zip(*results):
+        assert np.array_equal(a, b)
+    dense = stream_depth_dense(str(bam), DEF_MASK, chunk_bytes=2048)
+    if dense is not None:
+        per = list(dense[1])
+        assert per[1][1] == 20  # 20 M-runs on c2
+
+
+def test_event_stream_closes_inflater_on_abandon_and_error(tmp_path, bam):
+    """Abandoning the generator or hitting a decode error must close the
+    prefetching inflater (fd + producer thread), not leak it."""
+    import threading
+
+    from ngstpu.io.bam import DEF_MASK, stream_pileup_events
+
+    base = threading.active_count()
+    got = stream_pileup_events(bam, DEF_MASK, chunk_bytes=1 << 14)
+    if got is None:
+        pytest.skip("native library unavailable")
+    g = got[1]
+    next(g)        # start it
+    g.close()      # abandon: finally must close the inflater
+    data = open(bam, "rb").read()
+    p = tmp_path / "cut.bam"
+    p.write_bytes(data[:-37])
+    got = stream_pileup_events(str(p), DEF_MASK, chunk_bytes=1 << 14)
+    with pytest.raises(ValueError):
+        list(got[1])
+    # bad header path: _header_from_inflater closes before raising
+    p2 = tmp_path / "junk.bam"
+    p2.write_bytes(__import__("gzip").compress(b"JUNKJUNKJUNK"))
+    with pytest.raises(ValueError):
+        stream_pileup_events(str(p2), DEF_MASK)
+    for _ in range(100):
+        if threading.active_count() <= base:
+            break
+        import time
+        time.sleep(0.05)
+    assert threading.active_count() <= base + 1, "leaked producer threads"
