@@ -10,6 +10,7 @@ device; they stay as a host-side byte blob + offsets.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Iterator
 
 import numpy as np
@@ -271,7 +272,26 @@ def concat_batches(batches: list[FastqBatch]) -> FastqBatch:
 
 def read_fastq_file(path: str | None, **kw) -> FastqBatch:
     """Whole-file load as one padded batch (the load_file pattern of
-    gzfastq_sort.c:105-141)."""
+    gzfastq_sort.c:105-141).
+
+    Plain seekable files parse in ONE fused native pass over the whole
+    buffer — no per-chunk batches, no concat copies (worth several
+    seconds at 2M+ reads). gzip/stdin keep the chunked reader."""
+    if (path and path != "-" and not kw.get("keep_plus")
+            and os.path.isfile(path)):
+        try:
+            with open(path, "rb") as f:
+                magic = f.read(2)
+        except OSError:
+            magic = b""
+        if magic not in (b"\x1f\x8b", b""):
+            data = np.fromfile(path, np.uint8)
+            if len(data):
+                if data[-1] != 0x0A:  # tolerate missing final newline
+                    data = np.append(data, np.uint8(0x0A))
+                return _parse_chunk(
+                    data, False, kw.get("pad_to", 128),
+                    frozenset(kw.get("need", ("seq", "qual", "names"))))
     return concat_batches(list(FastqChunkReader(path, **kw)))
 
 

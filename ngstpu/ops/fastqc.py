@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 MAX_LEN = 300  # reference Rgzfastq_uniq.c:26
+KMER_K = 7  # FastQC Kmer module word size
 
 
 @functools.partial(jax.jit, static_argnames=("n_qual", "max_len"))
@@ -61,6 +62,59 @@ def fastqc_stats(seq: jax.Array, qual: jax.Array, lens: jax.Array,
 
     return dict(quality=quality, ntval=ntval, gc_frac=gc_frac,
                 len_hist=len_hist)
+
+
+def fastqc_stats_host(seq: np.ndarray, qual: np.ndarray, lens: np.ndarray,
+                      n: int, n_qual: int = 128, max_len: int = MAX_LEN):
+    """Host placement of fastqc_stats for thin accelerator links: the
+    quality matrix comes from the threaded native per-cycle histogram
+    (ngs_qc_hist) and the nucleotide/GC/length stats from chunked
+    vectorized numpy — an original re-expression of the device kernel
+    above, NOT a port of the reference C. Outputs match fastqc_stats
+    bit-for-bit (tests/test_fastqc.py)."""
+    from ..io.native import get_lib
+
+    B, L = seq.shape
+    lens32 = np.ascontiguousarray(lens[:n], np.int32)
+    quality = np.zeros((L, n_qual), np.int64)
+    lib = get_lib()
+    if lib is not None and n and qual.flags.c_contiguous:
+        hq = np.zeros(L * n_qual, np.uint64)
+        hl = np.zeros(L, np.uint64)  # unused: len_hist below is exact
+        lib.ngs_qc_hist(qual, lens32, n, L, n_qual, L, hq, hl, 0)
+        quality = hq.reshape(L, n_qual).astype(np.int64)
+    else:
+        for lo in range(0, n, 1 << 18):
+            hi = min(lo + (1 << 18), n)
+            m = np.arange(L)[None, :] < lens32[lo:hi, None]
+            q = np.where(m, qual[lo:hi].astype(np.int64), n_qual)
+            for k in range(L):
+                quality[k] += np.bincount(q[:, k], minlength=n_qual + 1
+                                          )[:n_qual]
+
+    ntval = np.zeros((L, 5), np.int64)
+    gc_frac = np.zeros(n, np.float32)
+    for lo in range(0, n, 1 << 18):
+        hi = min(lo + (1 << 18), n)
+        s = seq[lo:hi]
+        m = np.arange(L)[None, :] < lens32[lo:hi, None]
+        up = s & 0xDF
+        for code, sel in ((1, up == ord("C")), (2, up == ord("A")),
+                          (3, up == ord("G")),
+                          (4, (s == ord("N")) | (s == ord(".")))):
+            ntval[:, code] += (sel & m).sum(axis=0)
+        is_gc = ((s == ord("G")) | (s == ord("C"))) & m
+        gc_frac[lo:hi] = is_gc.sum(axis=1).astype(np.float32) / \
+            np.maximum(lens32[lo:hi], 1).astype(np.float32)
+    valid = np.zeros(L, np.int64)  # reads covering cycle k
+    cnt = np.bincount(np.clip(lens32, 0, L), minlength=L + 1)
+    valid[:] = n - np.cumsum(cnt)[:L]
+    ntval[:, 0] = valid - ntval[:, 1:].sum(axis=1)  # T = everything else
+
+    lh = np.zeros(max_len, np.int64)
+    in_range = (lens32 >= 1) & (lens32 <= max_len)
+    lh[:] = np.bincount(lens32[in_range] - 1, minlength=max_len)
+    return dict(quality=quality, ntval=ntval, gc_frac=gc_frac, len_hist=lh)
 
 
 def truncated_key(seq: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -112,6 +166,130 @@ def adapter_content(seq: jax.Array, lens: jax.Array, n_valid: jax.Array,
         seen = jax.lax.cummax(m.astype(jnp.int32), axis=1)
         counts.append(jnp.sum(seen, axis=0, dtype=jnp.int32))
     return jnp.stack(counts)
+
+
+def adapter_content_host(seq: np.ndarray, lens: np.ndarray, n: int,
+                         adapters: np.ndarray, k: int = 12) -> np.ndarray:
+    """Host placement of adapter_content. Semantics identical to the
+    device kernel; the formulation differs for host speed: one shared
+    big-endian uint32 rolling window per chunk turns each 12-byte adapter
+    match into three word compares, and the cumulative count comes from a
+    bincount of each read's FIRST match position (suffix-summed) instead
+    of a cummax over the whole matrix."""
+    B, L = seq.shape
+    A = adapters.shape[0]
+    out = np.zeros((A, L), np.int32)
+    lens32 = np.asarray(lens[:n], np.int32)
+    words = k // 4 if k % 4 == 0 else 0
+    for lo in range(0, n, 1 << 17):
+        hi = min(lo + (1 << 17), n)
+        s = seq[lo:hi]
+        window_ok = np.arange(L)[None, :] + k <= lens32[lo:hi, None]
+        u = None
+        if words and L >= 4:
+            # rolling big-endian u32 window, built IN PLACE (one cast +
+            # three shift/or passes; the obvious 4-temporary expression
+            # costs 6x); u[:, i] = bytes i..i+3, width L-3
+            u = s[:, :L - 3].astype(np.uint32)
+            u <<= 8
+            u |= s[:, 1:L - 2]
+            u <<= 8
+            u |= s[:, 2:L - 1]
+            u <<= 8
+            u |= s[:, 3:L]
+        for a in range(A):
+            if u is not None:
+                # first-word prescreen leaves ~4^-4 of positions; the
+                # remaining words verify sparsely on the candidates
+                vals = [np.uint32(int.from_bytes(
+                    adapters[a, 4 * w:4 * w + 4].tobytes(), "big"))
+                    for w in range(words)]
+                m = window_ok[:, :L - 3] & (u == vals[0])
+                ri, cj = np.nonzero(m)
+                for w in range(1, words):
+                    keep = u[ri, cj + 4 * w] == vals[w]
+                    ri, cj = ri[keep], cj[keep]
+                firsts = np.full(hi - lo, L, np.int64)
+                np.minimum.at(firsts, ri, cj)
+                first = firsts[firsts < L]
+            else:  # k not a multiple of 4: byte-compare fallback
+                m = window_ok.copy()
+                for j in range(k):
+                    m[:, L - j:] = False
+                    m[:, :L - j] &= s[:, j:] == adapters[a, j]
+                hit = m.any(axis=1)
+                first = m.argmax(axis=1)[hit]
+            out[a] += np.cumsum(np.bincount(first, minlength=L)[:L]
+                                ).astype(np.int32)
+    return out
+
+
+def per_tile_quality_host(qual: np.ndarray, lens: np.ndarray, n: int,
+                          tile_idx: np.ndarray, n_tiles: int):
+    """Host placement of per_tile_quality (np.add.at row scatter)."""
+    B, L = qual.shape
+    mask = np.arange(L)[None, :] < np.asarray(lens[:n], np.int32)[:, None]
+    phred = (qual[:n].astype(np.int32) - 33) * mask
+    sums = np.zeros((n_tiles, L), np.int32)
+    counts = np.zeros((n_tiles, L), np.int32)
+    np.add.at(sums, tile_idx[:n], phred)
+    np.add.at(counts, tile_idx[:n], mask.astype(np.int32))
+    return sums, counts
+
+
+def kmer_position_counts_host(seq: np.ndarray, lens: np.ndarray, n: int,
+                              k: int = KMER_K) -> np.ndarray:
+    """Host placement of kmer_position_counts (bincount over flattened
+    (position, kmer-id) cells)."""
+    B, L = seq.shape
+    code = np.full(seq.shape, 4, np.int8)
+    for ch, v in ((b"A", 0), (b"C", 1), (b"G", 2), (b"T", 3)):
+        code[seq == ch[0]] = v
+    ids = np.zeros((B, L), np.int32)
+    ok = np.ones((B, L), bool)
+    for j in range(k):
+        cj = np.full((B, L), 4, np.int8)
+        cj[:, :L - j] = code[:, j:]
+        ok &= cj < 4
+        ids = (ids << 2) | np.where(cj < 4, cj, 0).astype(np.int32)
+    lens32 = np.asarray(lens[:n], np.int32)
+    valid = ok[:n] & (np.arange(L)[None, :] + k <= lens32[:, None])
+    n_kmers = 4 ** k
+    seg = (np.arange(L, dtype=np.int64)[None, :] * n_kmers
+           + ids[:n]).ravel()[valid.ravel()]
+    flat = np.bincount(seg, minlength=L * n_kmers)
+    return flat.reshape(L, n_kmers).astype(np.int32)
+
+
+def dedup_groups_host_native(key: np.ndarray, key_lens: np.ndarray):
+    """Host-native dedup for the duplication/overrepresented modules:
+    the bucketed parallel sort + group extraction (ngs_dedup_groups_host,
+    the composite pipeline's host engine) over the same packed words the
+    device path sorts. Returns (counts, rep) in key-ascending group order
+    — identical to dedup_groups — or None without the native library."""
+    from ..io.native import get_lib
+    from ..ops.sortengine import classify_alphabet, pack_words_host
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    B = len(key_lens)
+    if B == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    kind = classify_alphabet(key)
+    words = np.ascontiguousarray(pack_words_host(key, kind))
+    lens32 = np.ascontiguousarray(key_lens, np.int32)
+    use_len = 0 if kind == "dna3" else 1
+    perm = np.empty(B, np.int32)
+    rep = np.empty(B, np.int64)
+    counts = np.empty(B, np.int64)
+    zeros = np.zeros(B, np.uint32)
+    g = lib.ngs_dedup_groups_host(
+        words, lens32.ctypes.data_as(ctypes.c_void_p), zeros, use_len, B,
+        words.shape[1], perm, rep, counts, 0)
+    return counts[:g].copy(), rep[:g].copy()
 
 
 def adapter_content_numpy(seq_list: list[bytes],
@@ -213,7 +391,6 @@ def parse_tile_ids(batch, step: int = 1):
     return np.asarray(rows, np.int64), ords, uniq
 
 
-KMER_K = 7  # FastQC Kmer module word size
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -33,13 +33,29 @@ NT_ROWS = "TCAGN"
 Q20, Q30 = 53, 63  # raw ascii thresholds (Rfastqc.R:240-244)
 
 
-def mate_stats(batch):
+def _placement(batch) -> str:
+    """Transfer-aware placement shared by every module (like
+    fastq_count's accumulator): on a thin tunneled link, shipping the
+    [B, L] matrices costs far more than the threaded host equivalents."""
+    from ..utils.linkprobe import link_verdict, probe_link
+
+    verdict = link_verdict()
+    if verdict is None:
+        verdict = probe_link(batch.seq)
+    return verdict
+
+
+def mate_stats(batch, placement: str):
+    from ..ops.fastqc import fastqc_stats_host
+
+    if placement == "host":
+        return fastqc_stats_host(batch.seq, batch.qual, batch.lens, batch.n)
     res = fastqc_stats(jnp.asarray(batch.seq), jnp.asarray(batch.qual),
                        jnp.asarray(batch.lens), jnp.int32(batch.n))
     return {k: np.asarray(v) for k, v in res.items()}
 
 
-def dup_groups(b1, b2=None):
+def dup_groups(b1, b2=None, placement: str = "device"):
     """Dedup over the truncated key; returns (counts, rep, key, key_lens)."""
     k1, l1 = truncated_key(b1.seq, b1.lens)
     if b2 is not None:
@@ -49,6 +65,12 @@ def dup_groups(b1, b2=None):
         key_lens = (l1.astype(np.int64) + l2.astype(np.int64)).astype(np.int32)
     else:
         key, key_lens = k1, l1
+    if placement == "host":
+        from ..ops.fastqc import dedup_groups_host_native
+
+        got = dedup_groups_host_native(key, key_lens)
+        if got is not None:
+            return got[0], got[1], key, key_lens
     words, encode_len = pack_for_dedup(key)
     g = dedup_groups(words, jnp.asarray(key_lens),
                      jnp.zeros(len(key_lens), jnp.uint32), len(key_lens),
@@ -231,8 +253,9 @@ def run(out_prefix: str, fq1: str, fq2: str | None) -> None:
     b2 = read_fastq_file(fq2) if fq2 else None
     mates = [(1, b1)] + ([(2, b2)] if b2 is not None else [])
 
+    placement = _placement(b1)
     for idx, b in mates:
-        st = mate_stats(b)
+        st = mate_stats(b, placement)
         L = min(st["quality"].shape[0], MAX_LEN)
         qmat = np.zeros((128, MAX_LEN), dtype=np.int64)
         qmat[:, :L] = st["quality"][:L, :].T
@@ -272,9 +295,14 @@ def run(out_prefix: str, fq1: str, fq2: str | None) -> None:
         # adapter content (FastQC module; ngstpu extension over Rfastqc.R)
         ad = np.frombuffer(b"".join(a for _, a in ADAPTERS),
                            np.uint8).reshape(len(ADAPTERS), -1)
-        ac = np.asarray(adapter_content(jnp.asarray(b.seq),
-                                        jnp.asarray(b.lens),
-                                        jnp.int32(b.n), jnp.asarray(ad)))
+        if placement == "host":
+            from ..ops.fastqc import adapter_content_host
+
+            ac = adapter_content_host(b.seq, b.lens, b.n, ad)
+        else:
+            ac = np.asarray(adapter_content(jnp.asarray(b.seq),
+                                            jnp.asarray(b.lens),
+                                            jnp.int32(b.n), jnp.asarray(ad)))
         Lb = b.seq.shape[1]
         with open(f"{out_prefix}_adapter_mate{idx}.tsv", "w") as f:
             f.write("#cycle\t" + "\t".join(n for n, _ in ADAPTERS) + "\n")
@@ -300,11 +328,18 @@ def run(out_prefix: str, fq1: str, fq2: str | None) -> None:
         parsed = parse_tile_ids(b, step=step)
         if parsed is not None:
             rows_idx, tile_ord, tiles = parsed
-            squal = jnp.asarray(b.qual[rows_idx])
-            slens = jnp.asarray(b.lens[rows_idx])
-            sums, cnts = per_tile_quality(squal, slens,
-                                          jnp.int32(len(rows_idx)),
-                                          jnp.asarray(tile_ord), len(tiles))
+            if placement == "host":
+                from ..ops.fastqc import per_tile_quality_host
+
+                sums, cnts = per_tile_quality_host(
+                    b.qual[rows_idx], b.lens[rows_idx], len(rows_idx),
+                    tile_ord, len(tiles))
+            else:
+                sums, cnts = per_tile_quality(
+                    jnp.asarray(b.qual[rows_idx]),
+                    jnp.asarray(b.lens[rows_idx]),
+                    jnp.int32(len(rows_idx)), jnp.asarray(tile_ord),
+                    len(tiles))
             sums, cnts = np.asarray(sums, np.int64), np.asarray(cnts, np.int64)
             with np.errstate(invalid="ignore", divide="ignore"):
                 tile_mean = np.where(cnts > 0, sums / np.maximum(cnts, 1), 0.0)
@@ -323,15 +358,21 @@ def run(out_prefix: str, fq1: str, fq2: str | None) -> None:
         # kmer enrichment (FastQC module; every 50th read like FastQC)
         kstep = 50 if b.n >= 5000 else 1
         krows = np.arange(0, b.n, kstep, dtype=np.int64)
-        kc = np.asarray(kmer_position_counts(
-            jnp.asarray(b.seq[krows]), jnp.asarray(b.lens[krows]),
-            jnp.int32(len(krows))))
+        if placement == "host":
+            from ..ops.fastqc import kmer_position_counts_host
+
+            kc = kmer_position_counts_host(b.seq[krows], b.lens[krows],
+                                           len(krows))
+        else:
+            kc = np.asarray(kmer_position_counts(
+                jnp.asarray(b.seq[krows]), jnp.asarray(b.lens[krows]),
+                jnp.int32(len(krows))))
         with open(f"{out_prefix}_kmer_mate{idx}.tsv", "w") as f:
             f.write("#kmer\tcount\tmax_obs_exp\tposition\n")
             for km, cnt, ratio, pos in kmer_report(kc, KMER_K):
                 f.write(f"{km}\t{cnt}\t{ratio:.3f}\t{pos}\n")
 
-    counts, rep, key, key_lens = dup_groups(b1, b2)
+    counts, rep, key, key_lens = dup_groups(b1, b2, placement)
     dups = np.sort(counts)[::-1]
     levels = np.bincount(np.minimum(dups, 100))
     with open(f"{out_prefix}_duplication.tsv", "w") as f:

@@ -345,3 +345,38 @@ def test_event_stream_closes_inflater_on_abandon_and_error(tmp_path, bam):
         import time
         time.sleep(0.05)
     assert threading.active_count() <= base + 1, "leaked producer threads"
+
+
+def test_pooled_inflater_prefetch_equals_sync(tmp_path):
+    """Property: the prefetching inflater reproduces the sync inflater's
+    byte stream exactly over random BGZF files, chunk sizes and carries."""
+    from ngstpu.io.bgzf import PooledInflater, compress_bgzf
+    from ngstpu.io.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(31)
+    for trial in range(6):
+        n = int(rng.integers(0, 400000))
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        p = tmp_path / f"r{trial}.bgzf"
+        p.write_bytes(compress_bgzf(data))
+        for chunk in (1 << 12, 1 << 16, 1 << 22):
+            outs = []
+            for prefetch in (False, True):
+                inf = PooledInflater(str(p), chunk, pool=f"pf{prefetch}",
+                                     prefetch=prefetch)
+                got = bytearray()
+                carry = b""
+                while True:
+                    b = inf.next_chunk(carry)
+                    if b is None:
+                        got += bytes(carry)
+                        break
+                    # hold back a pseudo-random tail as the next carry
+                    keep = int(rng.integers(0, min(len(b), 97) + 1))
+                    got += bytes(b[:len(b) - keep])
+                    carry = bytes(b[len(b) - keep:])
+                inf.close()
+                outs.append(bytes(got))
+            assert outs[0] == outs[1] == data, (trial, chunk)

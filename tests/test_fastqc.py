@@ -214,3 +214,85 @@ def test_fastqc_cli_new_modules(tmp_path, monkeypatch):
     tile_rows = (tmp_path / "qc_per_tile_mate1.tsv").read_text().splitlines()
     assert tile_rows[1].split("\t")[0] == "1101"
     assert len(tile_rows) == 3
+
+
+def test_fastqc_stats_host_matches_device():
+    """The host placement (native histogram + vectorized numpy) must match
+    the device kernel bit-for-bit on ragged, mixed-alphabet input."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ngstpu.ops.fastqc import fastqc_stats, fastqc_stats_host
+
+    rng = np.random.default_rng(41)
+    for trial in range(4):
+        B = int(rng.integers(1, 4000))
+        L = int(rng.choice([40, 128, 301]))
+        seq = rng.choice(np.frombuffer(b"ACGTNacgtn.X\x00", np.uint8),
+                         (B, L)).astype(np.uint8)
+        qual = rng.integers(0, 256, (B, L)).astype(np.uint8)
+        lens = rng.integers(0, L + 4, B).astype(np.int32)
+        # zero padding past lens like the parser does (host path must not
+        # depend on it though — it masks explicitly)
+        dev = fastqc_stats(jnp.asarray(seq), jnp.asarray(qual),
+                           jnp.asarray(lens), jnp.int32(B))
+        host = fastqc_stats_host(seq, qual, lens, B)
+        for k in ("quality", "ntval", "len_hist"):
+            assert np.array_equal(np.asarray(dev[k]), host[k]), (trial, k)
+        assert np.array_equal(np.asarray(dev["gc_frac"]),
+                              host["gc_frac"]), trial
+
+
+def test_fastqc_host_modules_match_device():
+    """adapter/per-tile/kmer/dedup host placements must match the device
+    kernels exactly (the full host routing a dead accelerator link takes)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ngstpu.ops.fastqc import (ADAPTERS, adapter_content,
+                                   adapter_content_host,
+                                   dedup_groups_host_native,
+                                   kmer_position_counts,
+                                   kmer_position_counts_host,
+                                   per_tile_quality, per_tile_quality_host)
+    from ngstpu.ops.sortengine import dedup_groups, pack_for_dedup
+
+    rng = np.random.default_rng(47)
+    B, L = 3000, 90
+    seq = rng.choice(np.frombuffer(b"ACGTN", np.uint8), (B, L)).astype(np.uint8)
+    lens = rng.integers(20, L + 1, B).astype(np.int32)
+    qual = rng.integers(33, 75, (B, L)).astype(np.uint8)
+    # plant adapters in some reads
+    ad = np.frombuffer(b"".join(a for _, a in ADAPTERS),
+                       np.uint8).reshape(len(ADAPTERS), -1)
+    for i in range(0, B, 7):
+        a = i % len(ADAPTERS)
+        p = int(rng.integers(0, 30))
+        seq[i, p:p + ad.shape[1]] = ad[a]
+
+    got = adapter_content_host(seq, lens, B, ad)
+    exp = np.asarray(adapter_content(jnp.asarray(seq), jnp.asarray(lens),
+                                     jnp.int32(B), jnp.asarray(ad)))
+    assert np.array_equal(got, exp)
+
+    tiles = rng.integers(0, 12, B).astype(np.int32)
+    s_h, c_h = per_tile_quality_host(qual, lens, B, tiles, 12)
+    s_d, c_d = per_tile_quality(jnp.asarray(qual), jnp.asarray(lens),
+                                jnp.int32(B), jnp.asarray(tiles), 12)
+    assert np.array_equal(s_h, np.asarray(s_d))
+    assert np.array_equal(c_h, np.asarray(c_d))
+
+    kc_h = kmer_position_counts_host(seq, lens, B)
+    kc_d = np.asarray(kmer_position_counts(jnp.asarray(seq),
+                                           jnp.asarray(lens), jnp.int32(B)))
+    assert np.array_equal(kc_h, kc_d)
+
+    got = dedup_groups_host_native(seq, lens)
+    if got is not None:
+        counts_h, rep_h = got
+        words, encode_len = pack_for_dedup(seq)
+        g = dedup_groups(words, jnp.asarray(lens),
+                         jnp.zeros(B, jnp.uint32), B, length_first=False,
+                         words_encode_len=encode_len)
+        assert np.array_equal(counts_h, g["counts"])
+        assert np.array_equal(rep_h, g["rep"])
