@@ -277,7 +277,10 @@ def read_fastq_file(path: str | None, **kw) -> FastqBatch:
     Plain seekable files parse in ONE fused native pass over the whole
     buffer — no per-chunk batches, no concat copies (worth several
     seconds at 2M+ reads). gzip/stdin keep the chunked reader."""
-    if (path and path != "-" and not kw.get("keep_plus")
+    # a leading '-' means stdin throughout the toolkit (the strncmp
+    # semantics of reference IO_stream.h:55 that open_input implements),
+    # so the fast path must not grab an on-disk file named "-x.fq"
+    if (path and not path.startswith("-") and not kw.get("keep_plus")
             and os.path.isfile(path)):
         try:
             with open(path, "rb") as f:

@@ -179,7 +179,11 @@ def adapter_content_host(seq: np.ndarray, lens: np.ndarray, n: int,
     B, L = seq.shape
     A = adapters.shape[0]
     out = np.zeros((A, L), np.int32)
-    lens32 = np.asarray(lens[:n], np.int32)
+    # clamp lens to the padded width: positions past L-k can never hold a
+    # full adapter in the stored bytes (the device kernel compares padded
+    # zeros there and never matches either), and unclamped lens would push
+    # the sparse verify's u32 gathers out of bounds
+    lens32 = np.minimum(np.asarray(lens[:n], np.int32), L)
     words = k // 4 if k % 4 == 0 else 0
     for lo in range(0, n, 1 << 17):
         hi = min(lo + (1 << 17), n)
@@ -262,25 +266,36 @@ def kmer_position_counts_host(seq: np.ndarray, lens: np.ndarray, n: int,
 
 
 def dedup_groups_host_native(key: np.ndarray, key_lens: np.ndarray):
-    """Host-native dedup for the duplication/overrepresented modules:
-    the bucketed parallel sort + group extraction (ngs_dedup_groups_host,
-    the composite pipeline's host engine) over the same packed words the
-    device path sorts. Returns (counts, rep) in key-ascending group order
-    — identical to dedup_groups — or None without the native library."""
+    """Host dedup for the duplication/overrepresented modules, never
+    touching the accelerator link: the bucketed parallel native sort +
+    group extraction (ngs_dedup_groups_host, the composite pipeline's
+    host engine) when the native library is available, else the numpy
+    lexsort spill engine (sortengine._dedup_host) over raw-byte words —
+    both return (counts, rep) in key-ascending group order, identical to
+    the device dedup_groups."""
     from ..io.native import get_lib
     from ..ops.sortengine import classify_alphabet, pack_words_host
-
-    lib = get_lib()
-    if lib is None:
-        return None
-    import ctypes
 
     B = len(key_lens)
     if B == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    lens32 = np.ascontiguousarray(key_lens, np.int32)
+    lib = get_lib()
+    if lib is None:
+        # raw-byte packing collates identically to any rank packing, so
+        # the group order (and thus counts/rep) matches the device path
+        from ..ops.sortengine import _dedup_host, bytes_to_words_host
+
+        words = bytes_to_words_host(key)
+        perm, is_head = _dedup_host(words, lens32, np.zeros(B, np.uint32),
+                                    B, length_first=False)
+        head_pos = np.flatnonzero(is_head)
+        counts = np.diff(np.append(head_pos, B)).astype(np.int64)
+        return counts, perm[head_pos].astype(np.int64)
+    import ctypes
+
     kind = classify_alphabet(key)
     words = np.ascontiguousarray(pack_words_host(key, kind))
-    lens32 = np.ascontiguousarray(key_lens, np.int32)
     use_len = 0 if kind == "dna3" else 1
     perm = np.empty(B, np.int32)
     rep = np.empty(B, np.int64)

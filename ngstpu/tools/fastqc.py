@@ -36,13 +36,13 @@ Q20, Q30 = 53, 63  # raw ascii thresholds (Rfastqc.R:240-244)
 def _placement(batch) -> str:
     """Transfer-aware placement shared by every module (like
     fastq_count's accumulator): on a thin tunneled link, shipping the
-    [B, L] matrices costs far more than the threaded host equivalents."""
-    from ..utils.linkprobe import link_verdict, probe_link
+    [B, L] matrices costs far more than the threaded host equivalents.
+    probe_link handles the whole decision chain (forced env verdict,
+    realized-transfer votes, sub-8MB operands default device, staged
+    timed probe with a cross-process cache)."""
+    from ..utils.linkprobe import probe_link
 
-    verdict = link_verdict()
-    if verdict is None:
-        verdict = probe_link(batch.seq)
-    return verdict
+    return probe_link(batch.seq)
 
 
 def mate_stats(batch, placement: str):
@@ -68,9 +68,8 @@ def dup_groups(b1, b2=None, placement: str = "device"):
     if placement == "host":
         from ..ops.fastqc import dedup_groups_host_native
 
-        got = dedup_groups_host_native(key, key_lens)
-        if got is not None:
-            return got[0], got[1], key, key_lens
+        counts, rep = dedup_groups_host_native(key, key_lens)
+        return counts, rep, key, key_lens
     words, encode_len = pack_for_dedup(key)
     g = dedup_groups(words, jnp.asarray(key_lens),
                      jnp.zeros(len(key_lens), jnp.uint32), len(key_lens),

@@ -54,16 +54,29 @@ def _cache_path():
     return pathlib.Path.home() / ".cache" / "ngstpu" / "linkprobe.json"
 
 
+def _backend() -> str:
+    try:
+        import jax
+
+        return jax.devices()[0].platform
+    except Exception:  # noqa: BLE001 - cache key only
+        return "unknown"
+
+
 def _cached_verdict() -> str | None:
     import json
     import time
 
     try:
         d = json.loads(_cache_path().read_text())
+        # a verdict is only meaningful for the backend it was measured
+        # on: a CPU-forced test run must never poison a TPU run (or vice
+        # versa)
         if time.time() - float(d["ts"]) < _CACHE_TTL \
+                and d.get("backend") == _backend() \
                 and d["v"] in ("host", "device"):
             return d["v"]
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError):
         pass
     return None
 
@@ -77,7 +90,8 @@ def _store_verdict(v: str) -> None:
         p = _cache_path()
         p.parent.mkdir(parents=True, exist_ok=True)
         tmp = p.with_name(f".{os.getpid()}.linkprobe")
-        tmp.write_text(json.dumps({"v": v, "ts": time.time()}))
+        tmp.write_text(json.dumps({"v": v, "ts": time.time(),
+                                   "backend": _backend()}))
         os.replace(tmp, p)
     except OSError:
         pass
@@ -128,6 +142,11 @@ def probe_link(arr: np.ndarray) -> str:
     v = link_verdict()
     if v is not None:
         return v
+    if arr.nbytes < (8 << 20):
+        # RTT-dominated operand: a timed put would under-measure any
+        # link; shipping this little is cheap either way, so go device
+        # WITHOUT recording a verdict (mirrors ops/count's size gate)
+        return "device"
     v = _cached_verdict()
     if v is not None:
         _VERDICT.append(v)

@@ -296,3 +296,64 @@ def test_fastqc_host_modules_match_device():
                          words_encode_len=encode_len)
         assert np.array_equal(counts_h, g["counts"])
         assert np.array_equal(rep_h, g["rep"])
+
+
+def test_adapter_host_ragged_lens_past_width():
+    """lens > padded width must not crash the sparse verify (device path
+    matches padded zeros there and finds nothing)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ngstpu.ops.fastqc import ADAPTERS, adapter_content, adapter_content_host
+
+    rng = np.random.default_rng(3)
+    B, L = 200, 20  # shorter than adapter+8, lens overflow the width
+    seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), (B, L)).astype(np.uint8)
+    lens = rng.integers(0, L + 9, B).astype(np.int32)
+    ad = np.frombuffer(b"".join(a for _, a in ADAPTERS),
+                       np.uint8).reshape(len(ADAPTERS), -1)
+    got = adapter_content_host(seq, lens, B, ad)
+    exp = np.asarray(adapter_content(jnp.asarray(seq), jnp.asarray(lens),
+                                     jnp.int32(B), jnp.asarray(ad)))
+    assert np.array_equal(got, exp)
+
+
+def test_dedup_host_native_libless_matches(monkeypatch):
+    """The numpy lexsort fallback (no native library) returns the same
+    counts/rep as the native engine."""
+    import numpy as np
+
+    from ngstpu.ops import fastqc as F
+
+    rng = np.random.default_rng(5)
+    B, L = 2000, 40
+    key = rng.choice(np.frombuffer(b"ACGTN", np.uint8), (B, L)).astype(np.uint8)
+    lens = rng.integers(10, L + 1, B).astype(np.int32)
+    key *= np.arange(L)[None, :] < lens[:, None]
+    native = F.dedup_groups_host_native(key, lens)
+    import ngstpu.io.native as N
+    monkeypatch.setattr(N, "get_lib", lambda: None)
+    libless = F.dedup_groups_host_native(key, lens)
+    if native is not None:
+        assert np.array_equal(native[0], libless[0])
+        assert np.array_equal(native[1], libless[1])
+
+
+def test_linkprobe_cache_is_backend_keyed(tmp_path, monkeypatch):
+    import json
+    import time as _t
+
+    from ngstpu.utils import linkprobe as lp
+
+    monkeypatch.setattr(lp, "_cache_path", lambda: tmp_path / "lp.json")
+    lp._store_verdict("host")
+    assert lp._cached_verdict() == "host"
+    # a different backend's verdict must not apply
+    d = json.loads((tmp_path / "lp.json").read_text())
+    d["backend"] = "definitely-not-this-one"
+    (tmp_path / "lp.json").write_text(json.dumps(d))
+    assert lp._cached_verdict() is None
+    # malformed cache contents never crash
+    for junk in ("42", "[1,2]", '{"v": "host"}', '{"v": 3, "ts": null}', ""):
+        (tmp_path / "lp.json").write_text(junk)
+        assert lp._cached_verdict() is None
