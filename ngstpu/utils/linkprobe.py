@@ -98,34 +98,40 @@ def _store_verdict(v: str) -> None:
 
 
 def _timed_put(probe: np.ndarray, deadline: float) -> float:
-    """Seconds for a device round-trip of `probe`, or +inf if it misses
-    `deadline` seconds — a dead tunnel phase can stall a device_put for
-    MINUTES, so the probe itself must never block unboundedly. The put
-    runs on a daemon thread; on timeout it is abandoned (one in-flight
-    transfer leaks into the background, the verdict is already decided)."""
-    import threading
-    import time
+    """Seconds for a device round-trip of `probe.nbytes` zeros, or +inf
+    if it misses `deadline` seconds — a dead tunnel phase can stall a
+    device_put for MINUTES, so the probe must never block unboundedly.
+    The put runs in a SUBPROCESS that the deadline kills: a thread stuck
+    inside the C++ transfer cannot be cancelled and aborts the whole
+    process at interpreter shutdown ('FATAL: exception not rethrown'),
+    observed on the tunneled chip. The child warms the backend with a
+    tiny put first so initialization is excluded from the measurement."""
+    import subprocess
+    import sys
 
-    import jax
-
-    box: list = []
-
-    def run():
+    code = (
+        "import time, numpy as np\n"
+        "import jax\n"
+        "jax.device_put(np.zeros(64, np.uint8)).block_until_ready()\n"
+        f"y = np.zeros({int(probe.nbytes)}, np.uint8)\n"
+        "t0 = time.monotonic()\n"
+        "o = jax.device_put(y)\n"
+        "o.block_until_ready()\n"
+        "_ = np.asarray(o[:1])\n"  # force the data round through tunnels
+        "print(time.monotonic() - t0)\n")
+    try:
+        p = subprocess.Popen([sys.executable, "-c", code],
+                             stdout=subprocess.PIPE,
+                             stderr=subprocess.DEVNULL)
         try:
-            t0 = time.monotonic()
-            out = jax.device_put(probe)
-            out.block_until_ready()
-            # force the data round (block_until_ready can under-report
-            # through remote-device tunnels): pull one element back
-            _ = np.asarray(out[:1])
-            box.append(max(time.monotonic() - t0, 1e-9))
-        except Exception:
-            box.append(float("inf"))
-
-    t = threading.Thread(target=run, daemon=True)
-    t.start()
-    t.join(timeout=deadline)
-    return box[0] if box else float("inf")
+            out, _ = p.communicate(timeout=deadline + 20.0)  # + init slack
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.communicate()
+            return float("inf")
+        return max(float(out), 1e-9)
+    except (OSError, ValueError):
+        return float("inf")
 
 
 def probe_link(arr: np.ndarray) -> str:
@@ -157,7 +163,7 @@ def probe_link(arr: np.ndarray) -> str:
     # deadline = generous multiple of the threshold-rate transfer time
     # (+ tunnel-establishment slack); a link that can't move 1MB in this
     # window can't win any placement decision either
-    dt = _timed_put(small, deadline=max(16 * small.nbytes / bw_min(), 15.0))
+    dt = _timed_put(small, deadline=max(16 * small.nbytes / bw_min(), 10.0))
     if small.nbytes / dt < bw_min():
         v = "host"
     else:
