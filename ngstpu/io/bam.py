@@ -640,40 +640,54 @@ def _gen_events(inf, initial_carry: bytes, n_refs: int, flag_mask: int,
         if len(body) == 0 and final:
             break
         body = np.ascontiguousarray(body)
-        n_rec = ctypes.c_int64()
-        n_cig = ctypes.c_int64()
-        rc = lib.ngs_bam_count(body, len(body), ctypes.byref(n_rec),
-                               ctypes.byref(n_cig))
-        if rc == 2 or (rc == 1 and final):
-            # re-walk with the columnar scanner for its precise
-            # malformed/truncated diagnostics (raises)
-            scan_records(body, strict=final)
-            raise ValueError("truncated BAM record at end of file")
-        C = int(n_cig.value)
-        tid_b = get_buffer("bamev.tid", 4 * max(C, 1), np.int32)
-        st_b = get_buffer("bamev.start", 4 * max(C, 1), np.int32)
-        en_b = get_buffer("bamev.end", 4 * max(C, 1), np.int32)
+        # single-walk extraction: the event buffers are sized by a
+        # fraction of the chunk (typical BAMs produce ~1 event per
+        # ~100-200 record bytes, so /16 is ample headroom) instead of an
+        # exact ngs_bam_count pre-walk — that pre-walk was a second full
+        # pass over every record byte (~0.45 core-s on a WGS run). When a
+        # dense-cigar chunk does overflow, rc==3 stops at a record
+        # boundary; the events drain into `pending` and the walk resumes.
+        # The floor far exceeds the 65535-op single-record maximum, so
+        # forward progress is guaranteed.
+        cap = max(1 << 20, len(body) // 16)
+        off = 0
         n_ev = ctypes.c_int64()
         consumed_c = ctypes.c_int64()
-        lib.ngs_bam_m_events(body, len(body), n_refs, flag_mask, tid_b,
-                             st_b, en_b, ctypes.byref(n_ev),
-                             ctypes.byref(consumed_c), mono_state)
-        E = int(n_ev.value)
-        consumed = int(consumed_c.value)
-        if E:
-            tids = tid_b[:E]
-            ss, se = st_b[:E], en_b[:E]
-            if not mono_state[0] and (np.diff(tids) < 0).any():
-                order = np.argsort(tids, kind="stable")
-                tids, ss, se = tids[order], ss[order], se[order]
-            bounds = np.searchsorted(
-                tids, np.arange(int(tids[0]), int(tids[-1]) + 2))
-            for i, t in enumerate(range(int(tids[0]),
-                                        int(tids[-1]) + 1)):
-                lo, hi = int(bounds[i]), int(bounds[i + 1])
-                if lo < hi:
-                    pending.setdefault(t, []).append(
+        while True:
+            tid_b = get_buffer("bamev.tid", 4 * cap, np.int32)
+            st_b = get_buffer("bamev.start", 4 * cap, np.int32)
+            en_b = get_buffer("bamev.end", 4 * cap, np.int32)
+            sub = body[off:] if off else body
+            rc = lib.ngs_bam_m_events(sub, len(sub), n_refs, flag_mask,
+                                      tid_b, st_b, en_b, cap,
+                                      ctypes.byref(n_ev),
+                                      ctypes.byref(consumed_c), mono_state)
+            if rc == 2 or (rc == 1 and final):
+                # re-walk with the columnar scanner for its precise
+                # malformed/truncated diagnostics (raises)
+                scan_records(body, strict=final)
+                raise ValueError("truncated BAM record at end of file")
+            E = int(n_ev.value)
+            consumed = off + int(consumed_c.value)
+            if E:
+                tids = tid_b[:E]
+                ss, se = st_b[:E], en_b[:E]
+                if not mono_state[0] and (np.diff(tids) < 0).any():
+                    order = np.argsort(tids, kind="stable")
+                    tids, ss, se = tids[order], ss[order], se[order]
+                # segment bounds from the present tids only — a dense
+                # range(tids[0], tids[-1]+1) walk would loop over every
+                # absent intermediate contig on scaffold-heavy references
+                ut, seg_lo = np.unique(tids, return_index=True)
+                seg_hi = np.append(seg_lo[1:], E)
+                for t, lo, hi in zip(ut.tolist(), seg_lo.tolist(),
+                                     seg_hi.tolist()):
+                    pending.setdefault(int(t), []).append(
                         (ss[lo:hi].copy(), se[lo:hi].copy()))
+            if rc == 3:
+                off = consumed
+                continue
+            break
         if mono_state[0]:
             while emitted < mono_state[1] and emitted < n_refs:
                 yield flush(emitted)

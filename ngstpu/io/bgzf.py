@@ -11,6 +11,7 @@ parallel through the native zlib path; the writer emits spec-compliant
 from __future__ import annotations
 
 import gzip
+import os
 import struct
 import zlib
 
@@ -70,6 +71,67 @@ def _scan_blocks(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return starts, lens, isizes
 
 
+def _inflate_scanned(lib, arr, starts, lens, isizes, out, out_offsets,
+                     out_sizes) -> int:
+    """Inflate one batch of per-member scanned BGZF blocks (native).
+
+    Prefers the raw-DEFLATE path (ngs_bgzf_inflate_blocks): the member
+    framing was already parsed host-side by the scanners here, so decode
+    skips libdeflate's gzip-wrapper walk and its mandatory whole-output
+    CRC32 — callers still enforce produced size == ISIZE, and
+    NGSTPU_BGZF_CRC=1 turns full CRC verification back on. Any failure
+    falls back to the gzip-member walk (ngs_gzip_decompress_blocks).
+    Returns the final rc (0 = success)."""
+    n = len(starts)
+    verify = 1 if os.environ.get("NGSTPU_BGZF_CRC") else 0
+    rc = lib.ngs_bgzf_inflate_blocks(arr, starts, lens, n, out, out_offsets,
+                                     isizes, out_sizes, verify, 0)
+    if rc != 0:
+        rc = lib.ngs_gzip_decompress_blocks(arr, starts, lens, n, out,
+                                            out_offsets, isizes, out_sizes, 0)
+    return rc
+
+
+def _scan_blocks_from(data, off: int, budget: int, file_end: int
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Walk BGZF headers over mmapped bytes starting at block-start `off`,
+    stopping once `budget` compressed bytes are covered (always taking at
+    least one block). Unlike _scan_blocks_ex there is no 'partial' mode:
+    the whole file is addressable, so a header or block extending past
+    file_end is definitively truncated and raises. Returns
+    (starts, comp_lens, isizes, next_off)."""
+    starts, lens, isizes = [], [], []
+    o = off
+    stop = off + budget
+    while o < stop and o < file_end:
+        if o + 18 > file_end:
+            raise ValueError("truncated BGZF block")
+        if data[o] != 0x1F or data[o + 1] != 0x8B:
+            raise ValueError("bad BGZF magic")
+        xlen = struct.unpack_from("<H", data, o + 10)[0]
+        if o + 12 + xlen > file_end:
+            raise ValueError("truncated BGZF header")
+        xo = o + 12
+        bsize = None
+        end_x = xo + xlen
+        while xo + 4 <= end_x:
+            si1, si2, slen = data[xo], data[xo + 1], \
+                struct.unpack_from("<H", data, xo + 2)[0]
+            if si1 == 0x42 and si2 == 0x43 and slen == 2:
+                bsize = struct.unpack_from("<H", data, xo + 4)[0] + 1
+            xo += 4 + slen
+        if bsize is None:
+            raise ValueError("BGZF block without BSIZE")
+        if o + bsize > file_end:
+            raise ValueError("truncated BGZF block")
+        starts.append(o)
+        lens.append(bsize)
+        isizes.append(struct.unpack_from("<I", data, o + bsize - 4)[0])
+        o += bsize
+    return (np.array(starts, np.int64), np.array(lens, np.int64),
+            np.array(isizes, np.int64), o)
+
+
 def _scan_blocks_span(data, off: int, last_start: int
                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Walk BGZF headers from byte `off` (which must be a block start)
@@ -118,10 +180,10 @@ def _inflate_blocks(data: bytes, starts: np.ndarray, lens: np.ndarray,
         np.cumsum(isizes[:-1], out=out_offsets[1:])
         out_sizes = np.empty(len(starts), dtype=np.int64)
         arr = np.frombuffer(data, dtype=np.uint8)
-        rc = lib.ngs_gzip_decompress_blocks(
-            arr, np.ascontiguousarray(starts), np.ascontiguousarray(lens),
-            len(starts), out, out_offsets, np.ascontiguousarray(isizes),
-            out_sizes, 0)
+        rc = _inflate_scanned(lib, arr, np.ascontiguousarray(starts),
+                              np.ascontiguousarray(lens),
+                              np.ascontiguousarray(isizes), out, out_offsets,
+                              out_sizes)
         if rc == 0 and (out_sizes == isizes).all():
             return out.tobytes()
     chunks = []
@@ -165,6 +227,13 @@ class PooledInflater:
     bgzf_read buffer reuse does (reference klib bgzf.h:84-112), sized for
     multi-GB WGS BAMs.
 
+    The compressed side is mmapped (MADV_SEQUENTIAL): header scans and the
+    native inflate read the page cache directly, eliminating the
+    f.read() copy of every compressed byte (~1 GB of memcpy on a WGS BAM —
+    measurable on this host's ~1 GB/s memory system) and the
+    partial-block carry bytes the read() path had to stitch across chunk
+    boundaries.
+
     prefetch=True overlaps the NEXT chunk's read+inflate with the caller's
     processing of the current one: inflation lands at a fixed reserve
     offset of an alternating second pooled buffer BEFORE the caller's
@@ -182,14 +251,26 @@ class PooledInflater:
     def __init__(self, path: str, chunk_bytes: int = 32 << 20,
                  pool: str = "bgzf.pooled", prefetch: bool = False,
                  reserve: int = 1 << 20, depth: int = 2):
+        import mmap as _mmap
         import queue as _queue
         import threading as _threading
 
         self._f = open(path, "rb")
+        self._size = os.fstat(self._f.fileno()).st_size
+        self._mm = None
+        self._arr = np.zeros(0, np.uint8)
+        if self._size:
+            self._mm = _mmap.mmap(self._f.fileno(), 0,
+                                  prot=_mmap.PROT_READ)
+            if hasattr(self._mm, "madvise"):
+                try:
+                    self._mm.madvise(_mmap.MADV_SEQUENTIAL)
+                except (OSError, AttributeError):
+                    pass
+            self._arr = np.frombuffer(self._mm, np.uint8)
+        self._off = 0
         self._chunk = chunk_bytes
         self._pool = pool
-        self._ctail = b""   # compressed partial-block remainder
-        self._eof = False
         self._prefetch = prefetch
         self._reserve = reserve if prefetch else 0
         self._flip = 0
@@ -216,7 +297,14 @@ class PooledInflater:
             if got is None:
                 return
 
-    def close(self) -> None:
+    def close(self, release_buffers: bool | None = None) -> None:
+        """Close the stream. release_buffers=True also returns this
+        inflater's pooled rotation buffers (depth+2 chunk-sized maps for
+        the prefetch path) to the OS — several hundred MB of RSS a
+        long-lived process may not want pinned. The default keeps them
+        pooled for warm reuse (this host's page-fault path is slow and
+        erratic, so re-faulting them per run costs far more than the
+        resident pages); NGSTPU_RELEASE_BUFFERS=1 flips the default."""
         if self._t is not None:
             self._stop = True
             try:  # unblock a producer stuck in put()
@@ -226,33 +314,42 @@ class PooledInflater:
                 pass
             self._t.join(timeout=30)
             self._t = None
+        self._arr = np.zeros(0, np.uint8)
+        if self._mm is not None:
+            try:
+                self._mm.close()
+            except BufferError:
+                pass  # a live view keeps the map alive; GC reclaims it
+            self._mm = None
         self._f.close()
+        if release_buffers is None:
+            release_buffers = bool(os.environ.get("NGSTPU_RELEASE_BUFFERS"))
+        if release_buffers:
+            from ..utils.bufpool import release
+
+            if self._prefetch:
+                for k in range(self._nbufs):
+                    release(f"{self._pool}.{k}")
+            else:
+                release(self._pool)
+            release(self._pool + ".carry")
 
     def _inflate_next(self, reserve: int | None = None):
-        """Read+scan+inflate one batch of whole blocks into a pooled
-        buffer at offset `reserve` (default: the configured prefetch
-        reserve). Returns (out, total) or None at EOF; raises ValueError
-        on corrupt/truncated streams."""
+        """Scan+inflate one batch of whole blocks (straight off the mmap)
+        into a pooled buffer at offset `reserve` (default: the configured
+        prefetch reserve). Returns (out, total) or None at EOF; raises
+        ValueError on corrupt/truncated streams."""
         from ..utils.bufpool import get_buffer
 
         lib = get_lib()
         if reserve is None:
             reserve = self._reserve
         while True:
-            if self._eof:
-                if self._ctail:
-                    raise ValueError("truncated BGZF block")
+            if self._off >= self._size:
                 return None
-            data = self._f.read(self._chunk)
-            if not data:
-                self._eof = True
-                continue
-            buf = self._ctail + data if self._ctail else data
-            starts, lens, isizes, consumed = _scan_blocks_ex(buf,
-                                                             partial=True)
-            self._ctail = buf[consumed:]
-            if len(self._ctail) > (1 << 16) + 18:
-                raise ValueError("truncated BGZF block")
+            starts, lens, isizes, next_off = _scan_blocks_from(
+                self._mm, self._off, self._chunk, self._size)
+            self._off = next_off
             if len(starts) == 0:
                 continue
             total = int(isizes.sum())
@@ -265,10 +362,8 @@ class PooledInflater:
             np.cumsum(isizes[:-1], out=out_offsets[1:])
             out_offsets[1:] += reserve
             out_sizes = np.empty(len(starts), np.int64)
-            rc = lib.ngs_gzip_decompress_blocks(
-                np.frombuffer(buf, np.uint8), np.ascontiguousarray(starts),
-                np.ascontiguousarray(lens), len(starts), out, out_offsets,
-                np.ascontiguousarray(isizes), out_sizes, 0)
+            rc = _inflate_scanned(lib, self._arr, starts, lens, isizes, out,
+                                  out_offsets, out_sizes)
             if rc != 0 or not (out_sizes == isizes).all():
                 raise ValueError("corrupt BGZF block payload")
             return out, total
@@ -334,8 +429,8 @@ def decompress_bgzf(data: bytes) -> bytes:
         np.cumsum(isizes[:-1], out=out_offsets[1:])
     out_sizes = np.empty(len(starts), dtype=np.int64)
     arr = np.frombuffer(data, dtype=np.uint8)
-    rc = lib.ngs_gzip_decompress_blocks(arr, starts, lens, len(starts), out,
-                                        out_offsets, isizes, out_sizes, 0)
+    rc = _inflate_scanned(lib, arr, starts, lens, isizes, out, out_offsets,
+                          out_sizes)
     if rc != 0 or not (out_sizes == isizes).all():
         return gzip.decompress(data)  # fallback on any mismatch
     return out.tobytes()
@@ -362,10 +457,10 @@ def decompress_block_range(data: bytes, starts: np.ndarray, lens: np.ndarray,
             np.cumsum(isizes[:-1], out=out_offsets[1:])
         out_sizes = np.empty(len(starts), dtype=np.int64)
         arr = np.frombuffer(data, dtype=np.uint8)
-        rc = lib.ngs_gzip_decompress_blocks(
-            arr, np.ascontiguousarray(starts), np.ascontiguousarray(lens),
-            len(starts), out, out_offsets, np.ascontiguousarray(isizes),
-            out_sizes, 0)
+        rc = _inflate_scanned(lib, arr, np.ascontiguousarray(starts),
+                              np.ascontiguousarray(lens),
+                              np.ascontiguousarray(isizes), out, out_offsets,
+                              out_sizes)
         if rc == 0 and (out_sizes == isizes).all():
             return out.tobytes()
     chunks = []

@@ -157,6 +157,10 @@ def get_lib() -> ctypes.CDLL | None:
         lib.ngs_gzip_decompress_blocks.restype = _int
         lib.ngs_gzip_decompress_blocks.argtypes = [
             _p_u8, _p_i64, _p_i64, _i64, _p_u8, _p_i64, _p_i64, _p_i64, _int]
+        lib.ngs_bgzf_inflate_blocks.restype = _int
+        lib.ngs_bgzf_inflate_blocks.argtypes = [
+            _p_u8, _p_i64, _p_i64, _i64, _p_u8, _p_i64, _p_i64, _p_i64,
+            _int, _int]
         lib.ngs_mrle_encode_rows.restype = _i64
         lib.ngs_mrle_encode_rows.argtypes = [_p_u8, _p_i32, _i64, _i64,
                                              _p_u8, _p_i32]
@@ -183,7 +187,7 @@ def get_lib() -> ctypes.CDLL | None:
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"), _int]
         lib.ngs_bam_m_events.restype = _int
         lib.ngs_bam_m_events.argtypes = [
-            _p_u8, _i64, _i32, _i32, _p_i32, _p_i32, _p_i32,
+            _p_u8, _i64, _i32, _i32, _p_i32, _p_i32, _p_i32, _i64,
             ctypes.POINTER(_i64), ctypes.POINTER(_i64), _p_i32]
         lib.ngs_pileup_sweep.restype = _i64
         lib.ngs_pileup_sweep.argtypes = [_p_i32, _p_i32, _i64, _p_i64,
@@ -191,6 +195,11 @@ def get_lib() -> ctypes.CDLL | None:
         lib.ngs_pileup_sweep_se.restype = _i64
         lib.ngs_pileup_sweep_se.argtypes = [_p_i32, _p_i32, _i64, _p_i64,
                                             _p_i64, _int]
+        lib.ngs_pileup_emit_se.restype = _i64
+        lib.ngs_pileup_emit_se.argtypes = [
+            _p_i32, _p_i32, _i64, _p_u8, _i32, _i64,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            _i64, _p_u8, _i64, _int]
         lib.ngs_bam_depth_scan.restype = _i64
         lib.ngs_bam_depth_scan.argtypes = [
             _p_u8, _i64,

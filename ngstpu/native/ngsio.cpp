@@ -34,6 +34,13 @@ struct LibDeflate {
     // enum libdeflate_result (0 == LIBDEFLATE_SUCCESS)
     int (*gzip_decompress_ex)(void*, const void*, size_t, void*, size_t,
                               size_t*, size_t*) = nullptr;
+    // raw-DEFLATE payload decode: skips the gzip wrapper parse AND the
+    // mandatory whole-output CRC32 the gzip entry point pays — callers
+    // that already validated the member framing (BGZF's host-side header
+    // scan) opt into it, with CRC verification available on demand.
+    int (*deflate_decompress_ex)(void*, const void*, size_t, void*, size_t,
+                                 size_t*, size_t*) = nullptr;
+    uint32_t (*crc32)(uint32_t, const void*, size_t) = nullptr;
     bool ok = false;
 };
 
@@ -51,6 +58,13 @@ const LibDeflate& libdeflate() {
             reinterpret_cast<int (*)(void*, const void*, size_t, void*,
                                      size_t, size_t*, size_t*)>(
                 dlsym(h, "libdeflate_gzip_decompress_ex"));
+        l.deflate_decompress_ex =
+            reinterpret_cast<int (*)(void*, const void*, size_t, void*,
+                                     size_t, size_t*, size_t*)>(
+                dlsym(h, "libdeflate_deflate_decompress_ex"));
+        l.crc32 = reinterpret_cast<uint32_t (*)(uint32_t, const void*,
+                                                size_t)>(
+            dlsym(h, "libdeflate_crc32"));
         l.ok = l.alloc_decompressor && l.free_decompressor &&
                l.gzip_decompress_ex;
         return l;
@@ -87,7 +101,7 @@ void parallel_ranges(int64_t n, int nthreads, F&& fn) {
 
 extern "C" {
 
-int ngs_version() { return 10500; }
+int ngs_version() { return 10600; }
 
 // ---------------------------------------------------------------------------
 // Newline scanning
@@ -557,6 +571,114 @@ int ngs_gzip_decompress_blocks(const uint8_t* data, const int64_t* block_starts,
             out_sizes[i] = produced;
             inflateEnd(&zs);
         }
+        if (dec) ld.free_decompressor(dec);
+    });
+    return err.load();
+}
+
+// BGZF-specialized parallel inflate: every block [start, start+len) is ONE
+// gzip member whose framing the caller already scanned host-side (BGZF
+// BSIZE headers + ISIZE trailers, io/bgzf.py _scan_blocks_ex). Decode goes
+// straight to the raw DEFLATE payload — skipping libdeflate's gzip-wrapper
+// walk and, unless verify_crc != 0, the mandatory whole-output CRC32 of
+// the gzip entry point (a few % of the dominant decode stage; the produced
+// size is still checked against ISIZE by the caller via out_sizes). The
+// reference pays both through zlib's gzread (reference klib/bgzf.c).
+// Any header-parse or decode hiccup falls back to zlib raw inflate for
+// that block; a block that still fails sets the error flag.
+int ngs_bgzf_inflate_blocks(const uint8_t* data, const int64_t* block_starts,
+                            const int64_t* block_lens, int64_t n_blocks,
+                            uint8_t* out, const int64_t* out_offsets,
+                            const int64_t* out_caps, int64_t* out_sizes,
+                            int verify_crc, int nthreads) {
+    if (nthreads <= 0) nthreads = hw_threads();
+    std::atomic<int> err{0};
+    const LibDeflate& ld = libdeflate();
+    const bool raw_ok = ld.ok && ld.deflate_decompress_ex &&
+                        (!verify_crc || ld.crc32);
+    parallel_ranges(n_blocks, nthreads, [&](int64_t lo, int64_t hi, int) {
+        void* dec = raw_ok ? ld.alloc_decompressor() : nullptr;
+        z_stream zs;
+        bool zs_live = false;
+        for (int64_t i = lo; i < hi; ++i) {
+            const uint8_t* m = data + block_starts[i];
+            const int64_t mlen = block_lens[i];
+            // gzip member header walk (RFC 1952): fixed 10 bytes, then
+            // FEXTRA/FNAME/FCOMMENT/FHCRC as flagged. BGZF members are
+            // always magic+FLG=4+XLEN, but stay general for safety.
+            int64_t o = 10;
+            bool parsed = mlen >= 18 && m[0] == 0x1F && m[1] == 0x8B &&
+                          m[2] == 8;
+            uint8_t flg = parsed ? m[3] : 0;
+            if (parsed && (flg & 4)) {  // FEXTRA
+                if (o + 2 <= mlen) {
+                    uint16_t xlen;
+                    memcpy(&xlen, m + o, 2);
+                    o += 2 + xlen;
+                } else {
+                    parsed = false;
+                }
+            }
+            if (parsed && (flg & 8)) {  // FNAME
+                while (o < mlen && m[o]) ++o;
+                ++o;
+            }
+            if (parsed && (flg & 16)) {  // FCOMMENT
+                while (o < mlen && m[o]) ++o;
+                ++o;
+            }
+            if (parsed && (flg & 2)) o += 2;  // FHCRC
+            if (o + 8 > mlen) parsed = false;
+            int64_t got = -1;
+            if (parsed) {
+                const uint8_t* payload = m + o;
+                const size_t plen = static_cast<size_t>(mlen - o - 8);
+                if (dec) {
+                    size_t used = 0, produced = 0;
+                    int r = ld.deflate_decompress_ex(
+                        dec, payload, plen, out + out_offsets[i],
+                        static_cast<size_t>(out_caps[i]), &used, &produced);
+                    if (r == 0) got = static_cast<int64_t>(produced);
+                }
+                if (got < 0) {  // zlib raw-inflate fallback for this block
+                    if (!zs_live) {
+                        memset(&zs, 0, sizeof(zs));
+                        if (inflateInit2(&zs, -15) != Z_OK) {
+                            err.store(1);
+                            break;
+                        }
+                        zs_live = true;
+                    } else {
+                        inflateReset2(&zs, -15);
+                    }
+                    zs.next_in = const_cast<uint8_t*>(payload);
+                    zs.avail_in = static_cast<uInt>(plen);
+                    zs.next_out = out + out_offsets[i];
+                    zs.avail_out = static_cast<uInt>(out_caps[i]);
+                    int r = inflate(&zs, Z_FINISH);
+                    if (r == Z_STREAM_END)
+                        got = static_cast<int64_t>(zs.total_out);
+                }
+                if (got >= 0 && verify_crc) {
+                    uint32_t want;
+                    memcpy(&want, m + mlen - 8, 4);
+                    uint32_t have =
+                        ld.crc32 ? ld.crc32(0, out + out_offsets[i],
+                                            static_cast<size_t>(got))
+                                 : static_cast<uint32_t>(::crc32(
+                                       0, out + out_offsets[i],
+                                       static_cast<uInt>(got)));
+                    if (have != want) got = -1;
+                }
+            }
+            if (got < 0) {
+                err.store(2);
+                out_sizes[i] = 0;
+                continue;
+            }
+            out_sizes[i] = got;
+        }
+        if (zs_live) inflateEnd(&zs);
         if (dec) ld.free_decompressor(dec);
     });
     return err.load();
@@ -1463,13 +1585,18 @@ int ngs_bam_count(const uint8_t* buf, int64_t n, int64_t* n_rec,
 // (bam2depth.c:86-110) as a single branch-light walk that never touches
 // the sequence/quality bytes (unlike the full columnar scan, whose GC
 // pass reads every base). Caller sizes the out arrays at
-// n_cigar_total from ngs_bam_count. mono_state[2] = {monotone flag,
+// `cap` sizes the out arrays; the walk stops cleanly at a record whose
+// cigar could overflow them and returns 3 with *consumed at that record's
+// start — the caller drains the events and re-invokes on the remainder,
+// which removes the separate ngs_bam_count sizing pre-walk (one fewer
+// full pass over the record bytes). mono_state[2] = {monotone flag,
 // last passing tid} persists across chunks (the early-emission tracking
 // of the python grouping loop). Returns 0 (all bytes consumed), 1
-// (trailing partial record; *consumed set), 2 (malformed record).
+// (trailing partial record; *consumed set), 2 (malformed record),
+// 3 (out arrays full; *consumed set at a record boundary).
 int ngs_bam_m_events(const uint8_t* buf, int64_t n, int32_t n_refs,
                      int32_t flag_mask, int32_t* out_tid,
-                     int32_t* out_start, int32_t* out_end,
+                     int32_t* out_start, int32_t* out_end, int64_t cap,
                      int64_t* n_events, int64_t* consumed,
                      int32_t* mono_state) {
     int64_t o = 0, ev = 0;
@@ -1488,6 +1615,11 @@ int ngs_bam_m_events(const uint8_t* buf, int64_t n, int32_t n_refs,
         uint16_t n_cigar, flag;
         memcpy(&n_cigar, r + 12, 2);
         memcpy(&flag, r + 14, 2);
+        if (ev + (int64_t)n_cigar > cap) {
+            *n_events = ev; *consumed = o;
+            mono_state[0] = mono; mono_state[1] = last_tid;
+            return 3;
+        }
         int32_t l_seq;
         memcpy(&l_seq, r + 16, 4);
         if (l_read_name < 1 || l_seq < 0 ||
@@ -1712,6 +1844,127 @@ int64_t ngs_pileup_sweep_se(const int32_t* starts, const int32_t* ends,
     return out;
 }
 
+// Fully fused event-mode emitter: the ngs_pileup_sweep_se merge PLUS the
+// interval merge (_intervals_from_sweep), bedGraph row formatting
+// (format_int3_rows) and the bam2depth window binning
+// (ops/bamops.depth_window_bins) in ONE pass — no (u_pos, u_depth)
+// int64 intermediates (hundreds of MB round-tripped through memory on a
+// WGS run) and no separate numpy passes. Semantics are bit-identical to
+// that python chain, including the window clamp quirks: bins must be
+// float64[n_windows + 2] zeroed by the caller (two clamp slots the
+// caller discards, exactly like depth_window_bins), every contribution
+// is integer-valued so float64 accumulation order cannot matter, and
+// rows match the reference's hash2BedGraph output (bam2depth.c:203-236)
+// with output_bins overlap accounting (:132-176). Returns bytes written
+// to text, or -1 when cap is short (callers size cap >= (2n+2) rows).
+static inline int64_t floordiv_i64(int64_t a, int64_t w) {
+    return a >= 0 ? a / w : -((-a + w - 1) / w);
+}
+
+int64_t ngs_pileup_emit_se(const int32_t* starts, const int32_t* ends,
+                           int64_t n, const uint8_t* name, int32_t name_len,
+                           int64_t window, double* bins, int64_t n_windows,
+                           uint8_t* text, int64_t cap, int nthreads) {
+    (void)nthreads;
+    if (n == 0) return 0;
+    // greedy monotone cover of starts (see ngs_pileup_sweep_se)
+    std::vector<int32_t> main_s;
+    std::vector<int32_t> extra_s;
+    main_s.reserve(n);
+    int32_t run_max = starts[0];
+    for (int64_t i = 0; i < n; ++i) {
+        if (starts[i] >= run_max) {
+            run_max = starts[i];
+            main_s.push_back(starts[i]);
+        } else {
+            extra_s.push_back(starts[i]);
+        }
+    }
+    radix_sort_i32(extra_s);
+    std::vector<int32_t> se(ends, ends + n);
+    radix_sort_i32(se);
+
+    uint8_t* o = text;
+    uint8_t* const text_end = text + cap;
+    // segment merger state: seg = [seg_start, ...) at depth seg_depth
+    bool have_seg = false;
+    int64_t seg_start = 0, seg_depth = 0;
+    auto emit_unique = [&](int64_t p, int64_t d) -> bool {
+        if (!have_seg) {
+            seg_start = p;
+            seg_depth = d;
+            have_seg = true;
+            return true;
+        }
+        if (d == seg_depth) return true;
+        if (seg_depth > 0) {
+            if (o + name_len + 70 > text_end) return false;
+            memcpy(o, name, name_len);
+            o += name_len;
+            *o++ = '\t'; o = put_i64(o, seg_start);
+            *o++ = '\t'; o = put_i64(o, p);
+            *o++ = '\t'; o = put_i64(o, seg_depth);
+            *o++ = '\n';
+            if (window > 0 && bins) {
+                // exact depth_window_bins arithmetic (incl. its clamp
+                // behavior for coordinates outside [0, n_windows*W))
+                const int64_t ls = seg_start, le = p, d0 = seg_depth;
+                int64_t fw = floordiv_i64(ls, window);
+                int64_t lw = floordiv_i64(le - 1, window);
+                if (lw < fw) lw = fw;
+                if (fw < 0) fw = 0;
+                if (fw > n_windows + 1) fw = n_windows + 1;
+                if (lw < 0) lw = 0;
+                if (lw > n_windows + 1) lw = n_windows + 1;
+                int64_t first_end = (fw + 1) * window;
+                if (le < first_end) first_end = le;
+                bins[fw] += (double)((first_end - ls) * d0);
+                if (lw != fw) bins[lw] += (double)((le - lw * window) * d0);
+                if (lw > fw + 1 && window * d0 != 0) {
+                    const double wd = (double)(window * d0);
+                    for (int64_t w = fw + 1; w < lw; ++w) bins[w] += wd;
+                }
+            }
+        }
+        seg_start = p;
+        seg_depth = d;
+        return true;
+    };
+
+    // 3-way merge sweep over (main_s, extra_s, se)
+    int64_t i = 0, j = 0, k = 0, depth = 0;
+    int64_t nm = (int64_t)main_s.size(), ne = (int64_t)extra_s.size();
+    bool first = true;
+    int64_t cur = 0;
+    while (i < nm || j < ne || k < n) {
+        int64_t p;
+        int64_t d;
+        int32_t pm = i < nm ? main_s[i] : 0;
+        int32_t pe = j < ne ? extra_s[j] : 0;
+        bool take_main = i < nm && (j >= ne || pm <= pe);
+        int32_t ps = take_main ? pm : pe;
+        bool have_s = (i < nm) || (j < ne);
+        if (have_s && (k >= n || ps <= se[k])) {
+            p = ps;
+            d = 1;
+            if (take_main) ++i; else ++j;
+        } else {
+            p = se[k++];
+            d = -1;
+        }
+        if (first) { cur = p; first = false; }
+        if (p != cur) {
+            if (!emit_unique(cur, depth)) return -1;
+            cur = p;
+        }
+        depth += d;
+    }
+    if (!emit_unique(cur, depth)) return -1;
+    // trailing segment: _intervals_from_sweep drops it (no next boundary
+    // to end it); final depth is 0 for well-formed start/end pairs anyway
+    return o - text;
+}
+
 int64_t ngs_pileup_sweep(const int32_t* pos, const int32_t* delta, int64_t n,
                          int64_t* u_pos, int64_t* u_depth, int nthreads) {
     if (n == 0) return 0;
@@ -1791,13 +2044,34 @@ int64_t ngs_pileup_sweep(const int32_t* pos, const int32_t* delta, int64_t n,
 // Fast TSV row formatting (bedGraph / window / wig emission)
 // ---------------------------------------------------------------------------
 
+// two-digit pair table: one division per two digits emitted — roughly
+// halves the itoa cost of the bedGraph formatters, whose output is
+// hundreds of MB of small integers on WGS runs.
+static const char DIGIT_PAIRS[201] =
+    "00010203040506070809101112131415161718192021222324"
+    "25262728293031323334353637383940414243444546474849"
+    "50515253545556575859606162636465666768697071727374"
+    "75767778798081828384858687888990919293949596979899";
+
 static inline uint8_t* put_i64(uint8_t* o, int64_t v) {
     if (v < 0) { *o++ = '-'; v = -v; }
     char tmp[24];
-    int k = 0;
-    do { tmp[k++] = '0' + (v % 10); v /= 10; } while (v);
-    while (k) *o++ = tmp[--k];
-    return o;
+    int k = 24;
+    uint64_t u = static_cast<uint64_t>(v);
+    while (u >= 100) {
+        uint64_t q = u / 100;
+        memcpy(tmp + k - 2, DIGIT_PAIRS + 2 * (u - q * 100), 2);
+        k -= 2;
+        u = q;
+    }
+    if (u >= 10) {
+        memcpy(tmp + k - 2, DIGIT_PAIRS + 2 * u, 2);
+        k -= 2;
+    } else {
+        tmp[--k] = static_cast<char>('0' + u);
+    }
+    memcpy(o, tmp + k, 24 - k);
+    return o + (24 - k);
 }
 
 // rows "prefix\tA\tB\tC\n" with integer columns; returns bytes written.

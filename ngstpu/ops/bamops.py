@@ -293,6 +293,43 @@ def merged_intervals_runs(pos: np.ndarray, delta: np.ndarray,
     return merged_intervals(pos, delta, placement)
 
 
+def pileup_emit_runs(pos: np.ndarray, delta: np.ndarray, name: bytes,
+                     window: int, n_windows: int
+                     ) -> tuple[bytes, np.ndarray] | None:
+    """Fully fused event-mode bam2depth emitter: one native pass
+    (ngs_pileup_emit_se) produces the merged bedGraph row bytes AND the
+    exact depth_window_bins — equivalent to merged_intervals_runs +
+    format_int3_rows + depth_window_bins but with no (u_pos, u_depth)
+    intermediates or numpy interval passes (the python chain round-trips
+    hundreds of MB through memory on a WGS run). Requires the
+    stream_pileup_events flush layout ([all starts | all ends]); returns
+    None when the native lib is absent or the layout doesn't hold
+    (callers fall back to the unfused chain with identical output)."""
+    from ..io.native import get_lib
+
+    n = len(pos)
+    ns = n // 2
+    if n == 0:
+        return b"", np.zeros(n_windows, np.float64)
+    if ns * 2 != n:
+        return None
+    lib = get_lib()
+    if lib is None or not ((delta[:ns] == 1).all()
+                           and (delta[ns:] == -1).all()):
+        return None
+    bins = np.zeros(n_windows + 2, np.float64)
+    cap = (n + 2) * (len(name) + 70)
+    text = np.empty(cap, np.uint8)
+    w = lib.ngs_pileup_emit_se(
+        np.ascontiguousarray(pos[:ns], np.int32),
+        np.ascontiguousarray(pos[ns:], np.int32), ns,
+        np.frombuffer(name, np.uint8), len(name), window, bins, n_windows,
+        text, cap, 0)
+    if w < 0:  # cap bound above is a proof; defensive only
+        raise ValueError("pileup emit buffer overflow")
+    return text[:w].tobytes(), bins[:n_windows]
+
+
 def depth_window_bins(starts, ends, depths, window: int,
                       n_windows: int, target_len: int) -> np.ndarray:
     """bam2depth window bins: clean depth*bp overlap per window

@@ -34,11 +34,19 @@ from ..utils.timing import StageTimer
 
 def _sparse_rows_and_bins(header, events, window: int,
                           placement: str | None):
-    from ..ops.bamops import merged_intervals_runs
+    from ..ops.bamops import merged_intervals_runs, pileup_emit_runs
 
     for (name, tlen), (pos, delta) in zip(
             zip(header.ref_names, header.ref_lens), events):
         n_windows = tlen // window + 1
+        if placement == "host":
+            # fused native pass: sweep + interval merge + row format +
+            # window bins together (no int64 intermediates)
+            out = pileup_emit_runs(pos, delta, name.encode(), window,
+                                   n_windows)
+            if out is not None:
+                yield out
+                continue
         starts, ends, depths = merged_intervals_runs(pos, delta, placement)
         rows_b = (format_int3_rows(name.encode(), starts, ends, depths)
                   if len(starts) else b"")

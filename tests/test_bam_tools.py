@@ -339,3 +339,45 @@ def test_choose_pileup_mode_heuristic(tmp_path, monkeypatch):
     assert choose_pileup_mode(str(small)) == "dense"
     monkeypatch.setenv("NGSTPU_PILEUP_MODE", "sparse")
     assert choose_pileup_mode(str(small)) == "sparse"
+
+
+def test_pileup_emit_fused_matches_unfused_fuzz():
+    """The fused event-mode emitter (ngs_pileup_emit_se: sweep + interval
+    merge + row format + window bins in one native pass) must byte/value-
+    match the unfused merged_intervals_runs + format_int3_rows +
+    depth_window_bins chain on adversarial layouts: overtaken multi-M
+    starts, +1/-1 cancellation at one position (equal-depth interval
+    merging), duplicate coordinates, and intervals past the window range."""
+    import numpy as np
+
+    from ngstpu.io.native import format_int3_rows, get_lib
+    from ngstpu.ops.bamops import (depth_window_bins, merged_intervals_runs,
+                                   pileup_emit_runs)
+
+    if get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    for trial in range(40):
+        ns = int(rng.integers(1, 400))
+        window = int(rng.integers(3, 50))
+        n_windows = int(rng.integers(1, 30))
+        tlen = n_windows * window - int(rng.integers(0, window))
+        starts = rng.integers(0, max(2, tlen + 10), ns).astype(np.int32)
+        if trial % 3 == 0:
+            starts = np.sort(starts)  # coordinate-sorted main stream
+        if trial % 5 == 0 and ns > 4:
+            starts[::4] = starts[0]  # heavy duplicates + cancellation
+        lens = rng.integers(1, 30, ns).astype(np.int32)
+        ends = starts + lens
+        pos = np.concatenate([starts, ends]).astype(np.int32)
+        delta = np.concatenate([np.ones(ns, np.int32),
+                                -np.ones(ns, np.int32)])
+        name = f"chrF{trial}".encode()
+        fused = pileup_emit_runs(pos, delta, name, window, n_windows)
+        assert fused is not None
+        s, e, d = merged_intervals_runs(pos, delta, "host")
+        rows = format_int3_rows(name, s, e, d) if len(s) else b""
+        bins = depth_window_bins(s, e, d, window, n_windows, tlen)
+        assert fused[0] == rows, f"trial {trial} rows differ"
+        assert np.array_equal(fused[1], bins), f"trial {trial} bins differ"
