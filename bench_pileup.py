@@ -125,12 +125,14 @@ def main() -> None:
 
         run_ours_small()
         cs_best, s_best = None, None
-        for _ in range(2):
+        # 3 interleaved rounds x 3 ours-draws: an ours draw is ~0.5s, so
+        # extra draws are nearly free and keep the min off phase spikes
+        for _ in range(3):
             if exe:
                 c = run_c_small()
                 if c is not None and (cs_best is None or c < cs_best):
                     cs_best = c
-            for _ in range(2):
+            for _ in range(3):
                 dt = run_ours_small()
                 if dt is not None and (s_best is None or dt < s_best):
                     s_best = dt
@@ -143,6 +145,21 @@ def main() -> None:
                 f"C_ref={'%.2f' % cs_best if cs_best else 'n/a'}s\n")
     except Exception as e:  # noqa: BLE001 - secondary metric only
         sys.stderr.write(f"[bench_pileup] small-genome skipped: {e}\n")
+
+    # per-stage core-second breakdown (round-3 verdict item 1b): stage-
+    # isolated wall+cpu recorded INTO the bench artifact, so the result —
+    # above or below 10x — carries its own evidence. inflate_1core.cpu_s
+    # is the irreducible per-core decode cost; on this 2-core host the
+    # wall floor is core_seconds_total / 2.
+    try:
+        from ngstpu.testing.pileup_profile import profile_stages
+        payload["stage_breakdown"] = {
+            "cores": os.cpu_count(),
+            "wgs": profile_stages(str(path)),
+            "small_genome": profile_stages(str(small)),
+        }
+    except Exception as e:  # noqa: BLE001 - evidence extra, never fatal
+        payload["stage_breakdown"] = {"error": str(e)}
     print(json.dumps(payload), flush=True)
 
 

@@ -295,16 +295,19 @@ def choose_pileup_mode(path: str) -> str:
                memory traffic, unbeatable at real WGS depth where events
                rival genome size (and on small genomes, where the arrays
                preallocate and fit cache-ish).
-    'events' — stream_pileup_events + radix sweep; O(events·log-ish)
-               work, the winner when the genome is huge but coverage is
-               shallow (est. events ≪ genome positions). The reference's
-               per-chromosome hash makes the same trade (bam2depth.c:86).
+    'events' — stream_pileup_events + fused emit; O(events·log-ish)
+               work, the winner whenever coverage is shallow relative to
+               the genome (est. events ≪ genome positions) — WGS *and*
+               small references. The reference's per-chromosome hash
+               makes the same trade (bam2depth.c:86).
     'sparse' — the python/device legacy path (no native lib, or forced).
 
-    Heuristic anchored on measured per-unit costs (this host): dense adds
-    ~5ns/bp of genome; the event path ~95ns/event; events estimated from
-    the compressed size (~50 compressed bytes per event on typical
-    100bp-read BAMs). NGSTPU_PILEUP_MODE=dense|events|sparse overrides.
+    Heuristic: events estimated from the compressed size (~50 compressed
+    bytes per event on typical 100bp-read BAMs); the event path wins
+    below ~1 event per 8 genome positions (measured on this host with
+    the fused native emitter — e.g. the 20Mbp/1M-read regime runs 0.49s
+    in event mode vs 0.55s dense, warm), the dense scatter above it.
+    NGSTPU_PILEUP_MODE=dense|events|sparse overrides.
     """
     mode = os.environ.get("NGSTPU_PILEUP_MODE")
     if mode in ("events", "dense", "sparse"):
@@ -312,12 +315,8 @@ def choose_pileup_mode(path: str) -> str:
     try:
         header = read_bam_header(path)
         genome = sum(header.ref_lens) + header.n_refs
-        prealloc_max = int(os.environ.get("NGSTPU_DENSE_PREALLOC_MAX",
-                                          64 << 20))
-        if genome <= prealloc_max:
-            return "dense"
         est_events = os.path.getsize(path) // 50
-        return "events" if est_events < genome // 16 else "dense"
+        return "events" if est_events < genome // 8 else "dense"
     except (OSError, ValueError):
         return "dense"  # let the real decode surface the precise error
 
@@ -368,7 +367,7 @@ def stream_depth_dense(path: str, flag_mask: int,
         return None
     from .bgzf import PooledInflater
 
-    inf = PooledInflater(path, chunk_bytes, pool="bamdense.chunk")
+    inf = PooledInflater(path, chunk_bytes, pool="bamdense.chunk", prefetch=True)
     header, initial_carry = _header_from_inflater(inf)
     n_refs = header.n_refs
     ref_lens = header.ref_lens
@@ -439,11 +438,12 @@ def stream_depth_dense(path: str, flag_mask: int,
             needed[t] = 0
             return (a if a is not None else empty), int(ev_counts[t])
 
-        # NOTE: no producer-thread prefetch here — inflate and scan are
-        # each internally multithreaded, so on a small host alternating
-        # them at full width beats oversubscribed overlap (measured).
-        # PooledInflater hands back carry ++ inflated-batch views over one
-        # pooled buffer: no whole-chunk copies, no cross-run page faults.
+        # Producer-thread prefetch overlaps the next chunk's inflate with
+        # this chunk's scatter (re-measured a win once the inflater went
+        # mmap + raw-DEFLATE; the pre-mmap read()+inflate producer lost
+        # to strict alternation on this 2-core host). PooledInflater
+        # hands back carry ++ inflated-batch views over pooled buffers:
+        # no whole-chunk copies, no cross-run page faults.
         carry = np.frombuffer(initial_carry, np.uint8)
         final = False
         while True:

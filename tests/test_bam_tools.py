@@ -252,6 +252,10 @@ def test_bam2depth_dense_midstream_fallback(tmp_path, monkeypatch):
     from ngstpu.tools import bam2depth
     from ngstpu.utils.timing import StageTimer
 
+    # this test targets the DENSE engine's midstream corrupt-coordinate
+    # fallback; pin the mode (the shallow fixture would otherwise route
+    # to event mode under the density heuristic)
+    monkeypatch.setenv("NGSTPU_PILEUP_MODE", "dense")
     seq = "ACGT" * 25
     recs = [encode_record(f"a{i}", 0, 10 + i, 30, "100M", seq)
             for i in range(800)]
@@ -289,6 +293,7 @@ def test_bam2depth_dense_midstream_fallback(tmp_path, monkeypatch):
 
     # stdout output: must raise, not double-emit chromosome 1
     monkeypatch.undo()
+    monkeypatch.setenv("NGSTPU_PILEUP_MODE", "dense")  # undo() cleared it
     monkeypatch.setattr(
         iobam, "stream_depth_dense",
         lambda p, m, **kw: dense_orig(p, m, chunk_bytes=2048, **kw))
@@ -326,15 +331,20 @@ def test_choose_pileup_mode_heuristic(tmp_path, monkeypatch):
     from ngstpu.testing.bamfixtures import encode_record, make_bam
 
     seq = "ACGT" * 25
+    # shallow relative to the genome (1 read over 5Mbp): event mode
     small = tmp_path / "small.bam"
-    make_bam(str(small), [("c1", 5000)],
+    make_bam(str(small), [("c1", 5_000_000)],
              [encode_record("r", 0, 10, 30, "100M", seq)])
-    assert choose_pileup_mode(str(small)) == "dense"  # preallocating size
-
-    # force the lazy regime: tiny prealloc cap makes any genome "WGS";
-    # a near-empty BAM then estimates far fewer events than genome/16
-    monkeypatch.setenv("NGSTPU_DENSE_PREALLOC_MAX", "1000")
     assert choose_pileup_mode(str(small)) == "events"
+
+    # deep relative to the genome (500 reads stacked on 300bp): the
+    # estimated events rival genome positions -> dense scatter
+    deep = tmp_path / "deep.bam"
+    make_bam(str(deep), [("c1", 300)],
+             [encode_record(f"r{i}", 0, i % 200, 30, "100M", seq)
+              for i in range(500)])
+    assert choose_pileup_mode(str(deep)) == "dense"
+
     monkeypatch.setenv("NGSTPU_PILEUP_MODE", "dense")
     assert choose_pileup_mode(str(small)) == "dense"
     monkeypatch.setenv("NGSTPU_PILEUP_MODE", "sparse")
