@@ -586,11 +586,12 @@ def stream_pileup_events(path: str, flag_mask: int,
                          prefetch=True)
     header, initial_carry = _header_from_inflater(inf)
     n_refs = header.n_refs
+    genome = sum(header.ref_lens)
 
     def gen():
         try:
             yield from _gen_events(inf, initial_carry, n_refs, flag_mask,
-                                   lib)
+                                   lib, genome)
         finally:
             # abandoned-generator / error path: release the fd and unpark
             # the prefetch producer thread
@@ -600,19 +601,24 @@ def stream_pileup_events(path: str, flag_mask: int,
 
 
 def _gen_events(inf, initial_carry: bytes, n_refs: int, flag_mask: int,
-                lib):
+                lib, genome: int = 0):
     import ctypes
 
     from ..utils.bufpool import get_buffer
 
     pending: dict[int, list] = {}
+    pending_events = 0
+    warned_unsorted = False
+    warned_resident = False
     emitted = 0
     empty = (np.zeros(0, np.int32), np.zeros(0, np.int32))
 
     def flush(t):
+        nonlocal pending_events
         pieces = pending.pop(t, None)
         if not pieces:
             return empty
+        pending_events -= sum(len(s) for s, _ in pieces)
         # layout [all starts | all ends] (chunk order preserved): the
         # starts half of a coordinate-sorted input is ascending, which
         # merged_intervals_runs exploits to sort only the ends half
@@ -684,6 +690,33 @@ def _gen_events(inf, initial_carry: bytes, n_refs: int, flag_mask: int,
                                      seg_hi.tolist()):
                     pending.setdefault(int(t), []).append(
                         (ss[lo:hi].copy(), se[lo:hi].copy()))
+                pending_events += E
+            # unsorted-input advisories (mirror of the dense path's):
+            # interleaved tids on a big genome keep every touched
+            # chromosome's events resident until EOF — outputs stay
+            # correct, but the cheap fix is a coordinate sort
+            if (not mono_state[0] and not warned_unsorted
+                    and genome > (64 << 20)):
+                warned_unsorted = True
+                import sys as _sys
+
+                _sys.stderr.write(
+                    "ngstpu: BAM is not coordinate-grouped; event-mode "
+                    "pileup holds every touched chromosome's events in "
+                    "memory until EOF - coordinate-sort the input to "
+                    "bound RSS\n")
+            if not warned_resident and pending_events > int(os.environ.get(
+                    "NGSTPU_EVENT_PENDING_CAP", 128 << 20)):
+                warned_resident = True
+                import sys as _sys
+
+                _sys.stderr.write(
+                    f"ngstpu: event-mode pileup is holding "
+                    f"{pending_events} undischarged events "
+                    f"(~{pending_events * 8 >> 20} MB); the input's tid "
+                    f"grouping prevents streaming emission - "
+                    f"coordinate-sort the input, or raise "
+                    f"NGSTPU_EVENT_PENDING_CAP to silence this\n")
             if rc == 3:
                 off = consumed
                 continue

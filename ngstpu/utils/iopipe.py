@@ -59,26 +59,62 @@ class TeeWriter:
 def prefetch1(gen):
     """Pull items of `gen` one ahead on a worker thread: the producer's
     next item computes while the consumer handles the current one.
-    Exceptions re-raise in order at the consumer."""
+    Exceptions re-raise in order at the consumer.
+
+    Abandon-safe: if the consumer stops iterating (close()/GeneratorExit/
+    an exception mid-loop), the worker is signalled instead of blocking
+    forever on the full queue, and it closes the inner generator so its
+    resources (fds, producer threads — e.g. an abandoned
+    stream_pileup_events) are released promptly in long-lived processes."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=1)
     done = object()
+    stop = threading.Event()
+
+    def put_or_stop(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
-            for item in gen:
-                q.put(item)
-            q.put(done)
-        except BaseException as e:  # noqa: BLE001 - relayed to consumer
-            q.put(e)
+            it = iter(gen)
+            while not stop.is_set():
+                try:
+                    item = next(it)
+                except StopIteration:
+                    put_or_stop(done)
+                    return
+                except BaseException as e:  # noqa: BLE001 - relayed
+                    put_or_stop(e)
+                    return
+                if not put_or_stop(item):
+                    return
+        finally:
+            if stop.is_set():
+                try:  # release the abandoned source's fds/threads
+                    gen.close()
+                except BaseException:  # noqa: BLE001 - best-effort
+                    pass
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is done:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        try:  # wake a worker mid-put immediately
+            q.get_nowait()
+        except queue.Empty:
+            pass

