@@ -71,10 +71,21 @@ def _inflate_gz(path: str, pool: str) -> np.ndarray | None:
     from ..utils.bufpool import get_buffer
 
     lib = get_lib()
-    raw = np.fromfile(path, np.uint8)
-    n = len(raw)
+    n = os.path.getsize(path)
     if n < 18:
         return None
+    # size gate BEFORE reading anything: the whole-file inflate holds the
+    # entire inflated stream in one pooled buffer, which is the right
+    # trade only up to a point — a 10M+-read .gz would pin GBs of
+    # anonymous memory where the chunked generic reader streams in
+    # O(chunk). Estimate from the compressed size (FASTQ gzips ~3-4x;
+    # use 4x) and route oversized inputs to the generic path by
+    # returning None. NGSTPU_GZ_INFLATE_MAX (bytes, estimated inflated)
+    # overrides the default 2 GB bound.
+    est_max = int(os.environ.get("NGSTPU_GZ_INFLATE_MAX", 2 << 30))
+    if 4 * n > est_max:
+        return None
+    raw = np.fromfile(path, np.uint8)
     # ISIZE comes from the (untrusted) trailer: a truncated/corrupt file
     # reads 4 arbitrary bytes here, so clamp to DEFLATE's maximum
     # compression ratio (~1032:1) before sizing any allocation

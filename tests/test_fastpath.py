@@ -291,3 +291,30 @@ def test_index_fastq_gz_multimember_and_corrupt(tmp_path):
     pbad = tmp_path / "bad.fq.gz"
     pbad.write_bytes(bytes(bad))
     assert index_fastq(str(pbad), pool="t.bad") is None
+
+
+def test_gz_inflate_size_gate_routes_to_generic(tmp_path, monkeypatch):
+    """A .gz whose estimated inflated size exceeds NGSTPU_GZ_INFLATE_MAX
+    must NOT take the whole-file-inflate fast path (index_fastq returns
+    None); the tool still produces byte-identical output through the
+    chunked generic reader (round-3 verdict item 4: bounded .gz memory)."""
+    from ngstpu.io.fastindex import index_fastq
+
+    data = random_fastq(800, read_len=60, seed=44, dup_frac=0.3)
+    p = tmp_path / "big.fq"
+    pz = tmp_path / "big.fq.gz"
+    p.write_bytes(data)
+    pz.write_bytes(gzip.compress(data, mtime=0))
+
+    monkeypatch.setenv("NGSTPU_GZ_INFLATE_MAX", "1024")  # ~everything over
+    assert index_fastq(str(pz), pool="t.gate") is None, \
+        "oversized .gz must route to the generic path"
+    # plain files are unaffected by the gate
+    assert index_fastq(str(p)) is not None
+
+    run(str(pz), str(tmp_path / "gated"), 0, 40)
+    monkeypatch.delenv("NGSTPU_GZ_INFLATE_MAX")
+    run(str(p), str(tmp_path / "plain"), 0, 40)
+    for s in (".trim.fastq", "_uniq.fq", "_sortKeyUniq.fq"):
+        assert (tmp_path / ("gated" + s)).read_bytes() == \
+            (tmp_path / ("plain" + s)).read_bytes(), s

@@ -357,3 +357,38 @@ def test_linkprobe_cache_is_backend_keyed(tmp_path, monkeypatch):
     for junk in ("42", "[1,2]", '{"v": "host"}', '{"v": 3, "ts": null}', ""):
         (tmp_path / "lp.json").write_text(junk)
         assert lp._cached_verdict() is None
+
+
+def test_linkprobe_persists_past_burst_gaps(tmp_path, monkeypatch):
+    """A verdict older than the old 60s TTL but inside NGSTPU_LINK_TTL
+    must be served from cache WITHOUT spawning a probe subprocess (the
+    round-3 verdict item 5: spaced CLI bursts stop re-paying a subprocess
+    JAX init); past the TTL the probe runs again."""
+    import json
+    import time as _t
+
+    import numpy as np
+
+    from ngstpu.utils import linkprobe as lp
+
+    monkeypatch.setattr(lp, "_cache_path", lambda: tmp_path / "lp.json")
+    monkeypatch.delenv("NGSTPU_LINK", raising=False)
+
+    def boom(*a, **k):
+        raise AssertionError("probe subprocess must not run on a cache hit")
+
+    monkeypatch.setattr(lp, "_timed_put", boom)
+    # 5 minutes old — beyond the old 60s TTL, within the 900s default
+    (tmp_path / "lp.json").write_text(json.dumps(
+        {"v": "host", "ts": _t.time() - 300.0, "backend": lp._backend()}))
+    monkeypatch.setattr(lp, "_VERDICT", [])
+    big = np.zeros(9 << 20, np.uint8)
+    assert lp.probe_link(big) == "host"  # served from cache, no subprocess
+
+    # beyond the TTL the cache no longer applies and the probe DOES run
+    monkeypatch.setenv("NGSTPU_LINK_TTL", "100")
+    monkeypatch.setattr(lp, "_VERDICT", [])
+    monkeypatch.setattr(lp, "_timed_put", lambda *a, **k: 1e9)  # dead-slow
+    assert lp.probe_link(big) == "host"
+    d = json.loads((tmp_path / "lp.json").read_text())
+    assert _t.time() - d["ts"] < 60  # re-vote refreshed the timestamp
