@@ -134,6 +134,118 @@ def bench_gz_composite(workdir: pathlib.Path) -> dict | None:
             "vs_baseline": round(vs, 3)}
 
 
+def _run_rss_batch(cmds, cwd, env_add=None, timeout_s=2400):
+    """Run each command sequentially via the tiny scripts/rss_runner.py
+    process; returns [[seconds, peak_rss_mb, peak_anon_mb, rc], ...]. The
+    indirection matters: ru_maxrss includes the fork->exec COW window, so
+    a child forked straight from this (fat) process would report at least
+    THIS process's RSS as its own peak."""
+    spec = json.dumps({"cmds": [[str(c) for c in cmd] for cmd in cmds],
+                       "cwd": str(cwd), "env": env_add or {}})
+    r = subprocess.run([sys.executable, str(REPO / "scripts/rss_runner.py"),
+                        spec], capture_output=True, timeout=timeout_s)
+    if r.returncode != 0:
+        raise RuntimeError(f"rss_runner failed: {r.stderr.decode()[-500:]}")
+    return json.loads(r.stdout)
+
+
+def bench_uniq_sort_10m(workdir: pathlib.Path) -> dict | None:
+    """BASELINE config 3 AT ITS STATED SCALE: gzfastq_uniq + gzfastq_sort
+    on 10M x 100bp reads — one recorded interleaved draw per side, with
+    each side's peak RSS from wait4 (the reference quotes ~22GB for
+    52.2M PE reads, gzfastq_uniq.c:309; scaled to this workload that is
+    ~2.1GB — the recorded ours_rss_mb documents our envelope). Parity is
+    asserted on the byte-identical artifacts (sortKeyUniq + sorted file).
+    NGSTPU_BENCH_BIG_READS scales (0 disables)."""
+    n = int(os.environ.get("NGSTPU_BENCH_BIG_READS", 10_000_000))
+    if n <= 0:
+        return None
+    d = REPO / ".cache" / "bench"
+    fixture = d / f"big_{n}x{READ_LEN}.fq"
+    try:
+        if not fixture.exists():
+            sys.stderr.write(f"[bench] generating {n}-read fixture...\n")
+            # in a subprocess: generation peaks at GBs of RSS, and this
+            # process's watermark must stay low for honest child RSS
+            # accounting (see _run_rss_batch)
+            gen = (f"import sys; sys.path.insert(0, {str(REPO)!r})\n"
+                   f"from ngstpu.testing.fixtures import random_fastq_fast\n"
+                   f"open({str(fixture)!r}, 'wb').write("
+                   f"random_fastq_fast({n}, {READ_LEN}, seed=77, "
+                   f"dup_frac=0.3))\n")
+            r = subprocess.run([sys.executable, "-c", gen], timeout=1200)
+            if r.returncode != 0 or not fixture.exists():
+                return None
+        from ngstpu.testing.oracles import build_oracle
+        exes = {t: build_oracle(t) for t in ("gzfastq_uniq", "gzfastq_sort")}
+        if any(v is None for v in exes.values()):
+            return None
+        # host placement, recorded: it is the verdict the transfer-aware
+        # engine converges to on this tunneled single-chip box (README
+        # design note), pinned so one recorded draw is deterministic
+        # rather than a probe-phase lottery
+        out = {"metric": "uniq_sort_10m_reads_per_sec", "unit": "reads/s",
+               "reads": n, "placement": "host"}
+        c_rows = _run_rss_batch(
+            [[exes["gzfastq_uniq"], "-1", str(fixture), "-o",
+              str(workdir / "bc")],
+             [exes["gzfastq_sort"], "-i", str(fixture), "-s", "-o",
+              str(workdir / "bc")]], workdir)
+        o_rows = _run_rss_batch(
+            [[sys.executable, "-m", "ngstpu.tools.cli", "gzfastq_uniq",
+              "-1", str(fixture), "-o", str(workdir / "bn")],
+             [sys.executable, "-m", "ngstpu.tools.cli", "gzfastq_sort",
+              "-i", str(fixture), "-s", "-o", str(workdir / "bn")]],
+            REPO, env_add={"JAX_PLATFORMS": "", "NGSTPU_LINK": "host"})
+        if any(r[-1] != 0 for r in c_rows + o_rows):
+            return None
+        c_total = sum(r[0] for r in c_rows)
+        c_rss = max(r[1] for r in c_rows)
+        o_total = sum(r[0] for r in o_rows)
+        o_rss = max(r[1] for r in o_rows)
+        c_anon = max(r[2] for r in c_rows)
+        o_anon = max(r[2] for r in o_rows)
+        parity = True
+        for suf in ("_sortKeyUniq.fq", "_sort_by_seq.fq"):
+            a = (workdir / ("bc" + suf)).read_bytes()
+            b = (workdir / ("bn" + suf)).read_bytes()
+            if a != b:
+                parity = False
+            del a, b
+        for f in workdir.glob("bc*"):
+            f.unlink()
+        for f in workdir.glob("bn*"):
+            f.unlink()
+        out.update({
+            "value": round(n / o_total, 1),
+            "vs_baseline": round(c_total / o_total, 3),
+            "ours_seconds": round(o_total, 2),
+            "c_seconds": round(c_total, 2),
+            # peak_rss includes file-backed mmap pages (evictable page
+            # cache — our fast paths mmap the 2.2GB input); peak_anon is
+            # the heap footprint, the honest twin of the reference's
+            # malloc envelope (22GB/52.2M-PE, gzfastq_uniq.c:309 ->
+            # ~2.1GB scaled to this 10M-SE workload)
+            "ours_peak_rss_mb": round(o_rss, 1),
+            "ours_peak_anon_mb": round(o_anon, 1),
+            "c_peak_rss_mb": round(c_rss, 1),
+            "c_peak_anon_mb": round(c_anon, 1),
+            "per_tool": {"c": [[round(r[0], 2), round(r[1], 1),
+                                round(r[2], 1)] for r in c_rows],
+                         "ours": [[round(r[0], 2), round(r[1], 1),
+                                   round(r[2], 1)] for r in o_rows]},
+            "parity": parity,
+        })
+        sys.stderr.write(
+            f"[bench] 10M uniq+sort ours={o_total:.1f}s "
+            f"anon={o_anon:.0f}MB (rss={o_rss:.0f}MB w/ mmap pages) "
+            f"C={c_total:.1f}s anon={c_anon:.0f}MB parity={parity}\n")
+        return out
+    except Exception as e:  # noqa: BLE001 - extra metric only
+        sys.stderr.write(f"[bench] 10M uniq+sort skipped: {e}\n")
+        return None
+
+
 def bench_pileup() -> dict:
     """BASELINE metric #2 (bam2depth bp/s), folded into the same JSON."""
     env = dict(os.environ)
@@ -213,6 +325,9 @@ def main() -> None:
     if gz is not None:
         extras.append(gz)
     extras.append(bench_pileup())
+    big = bench_uniq_sort_10m(workdir)
+    if big is not None:
+        extras.append(big)
     _emit({
         "metric": "count_trim_uniq_reads_per_sec",
         "value": round(rps, 1),

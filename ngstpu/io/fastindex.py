@@ -329,10 +329,38 @@ def uniq_text(ix: IndexedFastq, rep: np.ndarray, counts: np.ndarray,
     total = int(lib.ngs_uniq_sizes(
         np.ascontiguousarray(ix.name_len, np.int32),
         np.ascontiguousarray(ix.seq_len, np.int32),
-        rep, counts, k, out_starts))
+        rep, counts.ctypes.data_as(ctypes.c_void_p), k, out_starts))
     out = get_buffer(bufname, total)
     lib.ngs_format_uniq_ofs(
         ix.data, ix.name_off, ix.name_len, ix.seq_off, ix.seq_len,
-        ix.qual_off, ix.qual_len, rep, counts, k, out_starts,
+        ix.qual_off, ix.qual_len, rep,
+        counts.ctypes.data_as(ctypes.c_void_p), k, out_starts,
+        out.ctypes.data_as(ctypes.c_void_p), 0)
+    return out, total
+
+
+def take_text(ix: IndexedFastq, order: np.ndarray, bufname: str
+              ) -> tuple[np.ndarray, int]:
+    """Assemble plain FASTQ text for records in `order` (a permutation
+    slice) into the named pooled buffer — the emit half of the
+    gzfastq_sort offset fast path (records gathered straight from the
+    raw bytes, no padded matrices). Returns (buffer view, total bytes)."""
+    from ..utils.bufpool import get_buffer
+
+    lib = get_lib()
+    k = len(order)
+    if k == 0:
+        return get_buffer(bufname, 1), 0
+    order = np.ascontiguousarray(order, np.int64)
+    out_starts = get_buffer(bufname + ".starts", 8 * k, np.int64)[:k]
+    null = ctypes.c_void_p(0)
+    total = int(lib.ngs_uniq_sizes(
+        np.ascontiguousarray(ix.name_len, np.int32),
+        np.ascontiguousarray(ix.seq_len, np.int32),
+        order, null, k, out_starts))
+    out = get_buffer(bufname, total)
+    lib.ngs_format_uniq_ofs(
+        ix.data, ix.name_off, ix.name_len, ix.seq_off, ix.seq_len,
+        ix.qual_off, ix.qual_len, order, null, k, out_starts,
         out.ctypes.data_as(ctypes.c_void_p), 0)
     return out, total

@@ -129,7 +129,7 @@ def get_lib() -> ctypes.CDLL | None:
             _i64, _i32, _i32, _p_i64, ctypes.c_void_p, _int]
         lib.ngs_format_uniq_ofs.argtypes = [
             _p_u8, _p_i64, _p_i32, _p_i64, _p_i32, _p_i64, _p_i32,
-            _p_i64, _p_i64, _i64, _p_i64, ctypes.c_void_p, _int]
+            _p_i64, ctypes.c_void_p, _i64, _p_i64, ctypes.c_void_p, _int]
         lib.ngs_dedup_sort_host.argtypes = [
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
             ctypes.c_void_p, _int, _i64, _i64, _p_i32, _p_u8, _int]
@@ -140,8 +140,8 @@ def get_lib() -> ctypes.CDLL | None:
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
             _int, _i64, _i64, _p_i32, _p_i64, _p_i64, _int]
         lib.ngs_uniq_sizes.restype = _i64
-        lib.ngs_uniq_sizes.argtypes = [_p_i32, _p_i32, _p_i64, _p_i64,
-                                       _i64, _p_i64]
+        lib.ngs_uniq_sizes.argtypes = [_p_i32, _p_i32, _p_i64,
+                                       ctypes.c_void_p, _i64, _p_i64]
         lib.ngs_fastq_fused_pair.restype = _int
         lib.ngs_fastq_fused_pair.argtypes = [
             _p_u8, _p_i64, _p_i32, _p_i64, _p_i32,
@@ -195,6 +195,9 @@ def get_lib() -> ctypes.CDLL | None:
         lib.ngs_pileup_sweep_se.restype = _i64
         lib.ngs_pileup_sweep_se.argtypes = [_p_i32, _p_i32, _i64, _p_i64,
                                             _p_i64, _int]
+        lib.ngs_sort_perm_host.argtypes = [
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            _p_i32, _i64, _i64, _int, _p_i32, _int]
         lib.ngs_pileup_emit_se.restype = _i64
         lib.ngs_pileup_emit_se.argtypes = [
             _p_i32, _p_i32, _i64, _p_u8, _i32, _i64,

@@ -1197,8 +1197,10 @@ void ngs_format_uniq_ofs(const uint8_t* data,
             int32_t nl = name_len[r];
             memcpy(o, data + name_off[r], nl);
             o += nl;
-            *o++ = '\t';
-            o = put_i64(o, counts[k]);
+            if (counts) {  // NULL = plain take-in-order records
+                *o++ = '\t';
+                o = put_i64(o, counts[k]);
+            }
             *o++ = '\n';
             int32_t sl = seq_len[r];
             memcpy(o, data + seq_off[r], sl);
@@ -1352,18 +1354,24 @@ int64_t ngs_dedup_groups_host(const uint32_t* words, const int32_t* lens,
 // Record sizes + exclusive-prefix output offsets for the dedup emit
 // (name\t{count}\nseq\n+\nqual\n, reference gzfastq_uniq.c:325-357).
 // Returns total bytes. Sequential: ~3 gathers per group, memory-trivial.
+// counts == NULL sizes plain records (no "\t{count}" suffix) — the
+// take-in-order form gzfastq_sort's offset fast path emits.
 int64_t ngs_uniq_sizes(const int32_t* name_len, const int32_t* seq_len,
                        const int64_t* rep, const int64_t* counts,
                        int64_t k_total, int64_t* out_starts) {
     int64_t acc = 0;
     for (int64_t k = 0; k < k_total; ++k) {
         out_starts[k] = acc;
-        int64_t c = counts[k];
-        int d = 1;
-        while (c >= 10) { c /= 10; ++d; }
+        int64_t extra = 0;
+        if (counts) {
+            int64_t c = counts[k];
+            int d = 1;
+            while (c >= 10) { c /= 10; ++d; }
+            extra = 1 + d;
+        }
         int64_t r = rep[k];
         int64_t sl = seq_len[r];
-        acc += name_len[r] + 1 + d + 1 + sl + 3 + sl + 1;
+        acc += name_len[r] + extra + 1 + sl + 3 + sl + 1;
     }
     return acc;
 }
@@ -1842,6 +1850,55 @@ int64_t ngs_pileup_sweep_se(const int32_t* starts, const int32_t* ends,
     u_pos[out] = cur;
     u_depth[out++] = depth;
     return out;
+}
+
+// Host sort permutation over packed collation words — the placement-aware
+// host twin of ops/sortengine.lex_argsort for gzfastq_sort (reference
+// comparators gzfastq_sort.c:85-103: length primary, then byte compare;
+// equal keys keep input order like glibc's stable qsort). len_first != 0
+// puts the length before the words in the key. 256-way MSD bucket scatter
+// (by clamped length or by the leading packed byte) then parallel
+// per-bucket std::sort — the same shape as ngs_dedup_groups_host.
+void ngs_sort_perm_host(const uint32_t* words, const int32_t* lens,
+                        int64_t b, int64_t W, int len_first,
+                        int32_t* perm, int nthreads) {
+    if (b == 0) return;
+    if (nthreads <= 0) nthreads = hw_threads();
+    std::vector<int64_t> boff(257, 0);
+    auto bucket_of = [&](int64_t i) -> int {
+        if (len_first) {
+            int32_t l = lens[i];
+            return l < 0 ? 0 : (l > 255 ? 255 : (int)l);
+        }
+        return (int)(words[i * W] >> 24);
+    };
+    for (int64_t i = 0; i < b; ++i) ++boff[bucket_of(i) + 1];
+    for (int k = 0; k < 256; ++k) boff[k + 1] += boff[k];
+    std::vector<int64_t> cursor(boff.begin(), boff.end() - 1);
+    for (int64_t i = 0; i < b; ++i)
+        perm[cursor[bucket_of(i)]++] = static_cast<int32_t>(i);
+    // key order mirrors lex_argsort exactly: (lens if len_first), words,
+    // original index. len_first == 0 uses ONLY the words (lens is not a
+    // key there — lex_argsort's callers encode length in the words or
+    // don't need it).
+    auto cmp = [&](int32_t a, int32_t c) {
+        if (len_first && lens[a] != lens[c]) return lens[a] < lens[c];
+        const uint32_t* ra = words + (int64_t)a * W;
+        const uint32_t* rc = words + (int64_t)c * W;
+        for (int64_t w = 0; w < W; ++w) {
+            if (ra[w] != rc[w]) return ra[w] < rc[w];
+        }
+        return a < c;  // stability
+    };
+    std::atomic<int> next{0};
+    parallel_ranges(nthreads, nthreads, [&](int64_t, int64_t, int) {
+        for (;;) {
+            int k = next.fetch_add(1);
+            if (k >= 256) return;
+            int64_t lo = boff[k], hi = boff[k + 1];
+            if (hi - lo > 1) std::sort(perm + lo, perm + hi, cmp);
+        }
+    });
 }
 
 // Fully fused event-mode emitter: the ngs_pileup_sweep_se merge PLUS the

@@ -96,6 +96,28 @@ def seq_words_host(padded_np: np.ndarray, dna3: bool | None = None) -> np.ndarra
     return np.asarray(bytes_to_words(jnp.asarray(padded_np)))
 
 
+def sort_perm_host(words_np: np.ndarray, lens_np,
+                   length_first: bool) -> np.ndarray | None:
+    """Host placement of lex_argsort (thin accelerator link): native
+    256-way bucket scatter + parallel per-bucket sort over the same
+    collation words — identical order (length-first or lex-first, ties by
+    original index: the stable order the reference's glibc qsort
+    realizes for its comparators, gzfastq_sort.c:85-103). Returns None
+    when the native library is unavailable."""
+    from ..io.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    B, W = words_np.shape
+    perm = np.empty(B, np.int32)
+    if B:
+        lib.ngs_sort_perm_host(np.ascontiguousarray(words_np),
+                               np.ascontiguousarray(lens_np, np.int32),
+                               B, W, 1 if length_first else 0, perm, 0)
+    return perm
+
+
 def sum_quality_host(qual_padded: np.ndarray) -> np.ndarray:
     """Per-read quality-byte sum on the host (padding bytes are zero).
     Used by the dedup tools to avoid shipping the quality matrix to the

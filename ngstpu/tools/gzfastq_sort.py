@@ -60,11 +60,131 @@ def _mesh_perm(words_host: np.ndarray, lens: np.ndarray,
                             np.asarray(lens, np.int32), length_first=True)
 
 
+def _run_sort_fast(infile: str, outfile: str, by_name: bool,
+                   timer: StageTimer) -> bool:
+    """Offset-indexed whole-file sort (round-4 fast path): mmap + index,
+    collation words packed chunk-wise straight from the offsets (the
+    padded byte matrix never materializes whole), placement-aware
+    permutation (native 256-bucket sort on a thin link, device LSD
+    otherwise), and records emitted from the raw bytes in permuted order
+    (io/fastindex.take_text) with a ring writer overlapping format and
+    file writes. Roughly halves both the wall time and the peak RSS of
+    the generic padded-batch path at the 10M-read scale (the reference
+    loads and qsorts every record in memory, gzfastq_sort.c:243-249).
+    Returns False when the fast path does not apply."""
+    import ctypes
+    import os
+
+    from ..io.fastindex import index_fastq, take_text
+    from ..io.native import get_lib
+    from ..ops.sortengine import _DNA3_OK, sort_perm_host
+    from ..utils.bufpool import get_buffer, get_matrix
+    from ..utils.linkprobe import link_verdict, probe_link
+    from .pipeline import _RingWriter, _fresh
+
+    if (not outfile or outfile.startswith("-")
+            or os.environ.get("NGSTPU_NO_FASTPATH")):
+        return False
+    lib = get_lib()
+    if lib is None:
+        return False
+    ix = index_fastq(infile, pool="sort.ix")
+    if ix is None or ix.n == 0:
+        return False
+    B = ix.n
+    timer.log("done read file at %.3f s\n")
+    offs = ix.name_off if by_name else ix.seq_off
+    klens = np.ascontiguousarray(ix.name_len if by_name else ix.seq_len,
+                                 np.int32)
+    lmax = max(int(klens.max()), 4)
+
+    # pack collation words chunk-wise from the offsets. Sequences try the
+    # 3-bit DNA packing (identical collation on {.ACGNT}, 3.3x narrower
+    # keys); a chunk that breaks the alphabet restarts the pack raw.
+    # Names always pack raw (arbitrary bytes).
+    CH = 1 << 20
+    kind = "raw" if by_name else "dna3"
+    while True:
+        if kind == "dna3":
+            W = (lmax + 9) // 10
+        else:
+            lmax4 = (lmax + 3) // 4 * 4
+            W = lmax4 // 4
+        words = get_matrix("sort.words", B, W, np.uint32)
+        ok = True
+        for lo in range(0, B, CH):
+            hi = min(lo + CH, B)
+            pad_to = lmax if kind == "dna3" else lmax4
+            padded = get_buffer("sort.pad", (hi - lo) * pad_to
+                                ).reshape(hi - lo, pad_to)
+            # (ngs_fill_padded zero-fills each row's tail itself)
+            lib.ngs_fill_padded(ix.data, offs[lo:hi],
+                                klens[lo:hi], hi - lo, pad_to, padded, 0)
+            if kind == "dna3":
+                present = np.zeros(256, np.uint8)
+                lib.ngs_byte_presence(padded.reshape(-1),
+                                      padded.size, present, 0)
+                if not (~(present > 0) | _DNA3_OK).all():
+                    kind = "raw"
+                    ok = False
+                    break
+                lib.ngs_dna3_pack(padded, hi - lo, lmax, W,
+                                  words[lo:hi], 0)
+            else:
+                words[lo:hi] = padded.view(">u4")
+        if ok:
+            break
+
+    v = link_verdict()
+    if v is None and words.nbytes >= (8 << 20):
+        v = probe_link(words)
+    if v == "host":
+        perm = sort_perm_host(words, klens, True)
+    else:
+        perm = np.asarray(lex_argsort(jnp.asarray(words),
+                                      jnp.asarray(klens),
+                                      length_first=True))
+    timer.log("done qsort file at %.3f s\n")
+
+    suffix = "_sort_by_name.fq" if by_name else "_sort_by_seq.fq"
+    with open(_fresh(with_suffix(outfile, suffix)), "wb",
+              buffering=0) as f:
+        w = _RingWriter(f, ["sort.emitA", "sort.emitB"])
+        try:
+            for lo in range(0, B, 1 << 19):
+                sl = perm[lo:lo + (1 << 19)]
+                name = w.acquire()
+                view, total = take_text(ix, sl, name)
+                w.submit(name, view, total)
+        finally:
+            w.close()
+    timer.log("done write file at %.3f s\n")
+    return True
+
+
+def _link_placement(operand: np.ndarray) -> str | None:
+    """Transfer-aware placement for the whole-file sort (same policy as
+    gzfastq_uniq's dedup sort): a known verdict applies at any size; an
+    unknown link only probes for operands big enough to matter."""
+    from ..utils.linkprobe import link_verdict, probe_link
+
+    v = link_verdict()
+    if v is None and operand.nbytes >= (8 << 20):
+        v = probe_link(operand)
+    return v
+
+
 def sort_perm_by_seq(batch, mesh_n: int = 0) -> np.ndarray:
     if mesh_n > 1:
         from ..ops.sortengine import seq_words_host
 
         perm = _mesh_perm(seq_words_host(batch.seq), batch.lens, mesh_n)
+        if perm is not None:
+            return perm
+    if _link_placement(batch.seq) == "host":
+        from ..ops.sortengine import seq_words_host, sort_perm_host
+
+        perm = sort_perm_host(seq_words_host(batch.seq), batch.lens, True)
         if perm is not None:
             return perm
     words = seq_words(batch.seq)
@@ -80,6 +200,13 @@ def sort_perm_by_name(batch, mesh_n: int = 0) -> np.ndarray:
         from ..ops.sortengine import bytes_to_words_host
 
         perm = _mesh_perm(bytes_to_words_host(padded), batch.name_lens, mesh_n)
+        if perm is not None:
+            return perm
+    if _link_placement(padded) == "host":
+        from ..ops.sortengine import bytes_to_words_host, sort_perm_host
+
+        perm = sort_perm_host(bytes_to_words_host(padded), batch.name_lens,
+                              True)
         if perm is not None:
             return perm
     words = bytes_to_words(jnp.asarray(padded))
@@ -118,6 +245,9 @@ def main(argv: list[str]) -> int:
         by_seq = 1
     sys.stderr.write(f"name: {by_name}\tseq: {by_seq}\n")
 
+    if mesh_n <= 1 and _run_sort_fast(infile, outfile, bool(by_name),
+                                      timer):
+        return 0
     batch = read_fastq_file(infile)
     timer.log("done read file at %.3f s\n")
     if by_name:

@@ -286,3 +286,77 @@ def test_uniq_se_with_n_bases(tmp_path):
     assert ours == refd
     assert _records((tmp_path / "ours_uniq.fq").read_bytes()) == \
         _records((tmp_path / "ref_uniq.fq").read_bytes())
+
+
+@pytest.mark.parametrize("flag,suffix", [("-s", "_sort_by_seq.fq"),
+                                         ("-n", "_sort_by_name.fq")])
+def test_sort_host_placement_parity(tmp_path, monkeypatch, flag, suffix):
+    """NGSTPU_LINK=host routes the whole-file sort through the native
+    256-way-bucket permutation (ngs_sort_perm_host) instead of the device
+    lex_argsort — byte parity with the C comparator (length-first, then
+    byte compare, stable ties; gzfastq_sort.c:85-103) must hold, N bases
+    and variable lengths included."""
+    from ngstpu.io.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    monkeypatch.setenv("NGSTPU_LINK", "host")
+    data = random_fastq(900, read_len=80, var_len=True, seed=52,
+                        with_comment=True, dup_frac=0.4, with_n=True)
+    p = tmp_path / "in.fq"
+    p.write_bytes(data)
+    ref = run_oracle("gzfastq_sort", ["-i", str(p), flag, "-o",
+                                      str(tmp_path / "ref")],
+                     cwd=str(tmp_path))
+    if ref is None:
+        pytest.skip("no C toolchain")
+    rc = cli_main(["gzfastq_sort", "-i", str(p), flag, "-o",
+                   str(tmp_path / "ours")])
+    assert rc == 0
+    assert (tmp_path / ("ours" + suffix)).read_bytes() == \
+        (tmp_path / ("ref" + suffix)).read_bytes()
+
+
+def test_sort_perm_host_matches_device_order():
+    """The native host permutation must equal lex_argsort on random
+    words/lens (length-first and lex-first), including tie stability."""
+    import jax.numpy as jnp
+
+    from ngstpu.io.native import get_lib
+    from ngstpu.ops.sortengine import lex_argsort, sort_perm_host
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    for trial in range(6):
+        B = int(rng.integers(1, 3000))
+        W = int(rng.integers(1, 5))
+        words = rng.integers(0, 4, (B, W)).astype(np.uint32)  # heavy ties
+        lens = rng.integers(0, 7, B).astype(np.int32)
+        for lf in (True, False):
+            dev = np.asarray(lex_argsort(jnp.asarray(words),
+                                         jnp.asarray(lens),
+                                         length_first=lf))
+            host = sort_perm_host(words, lens, lf)
+            assert np.array_equal(dev, host), (trial, lf)
+
+
+@pytest.mark.parametrize("flag,suffix", [("-s", "_sort_by_seq.fq"),
+                                         ("-n", "_sort_by_name.fq")])
+def test_sort_generic_path_still_covered(tmp_path, monkeypatch, flag,
+                                         suffix):
+    """NGSTPU_NO_FASTPATH=1 keeps the padded-batch generic path exercised
+    now that the offset fast path handles file outputs by default; both
+    must produce the same bytes."""
+    monkeypatch.setenv("NGSTPU_NO_FASTPATH", "1")
+    data = random_fastq(400, read_len=70, var_len=True, seed=53,
+                        with_comment=True, dup_frac=0.3)
+    p = tmp_path / "in.fq"
+    p.write_bytes(data)
+    cli_main(["gzfastq_sort", "-i", str(p), flag, "-o",
+              str(tmp_path / "gen")])
+    monkeypatch.delenv("NGSTPU_NO_FASTPATH")
+    cli_main(["gzfastq_sort", "-i", str(p), flag, "-o",
+              str(tmp_path / "fast")])
+    assert (tmp_path / ("gen" + suffix)).read_bytes() == \
+        (tmp_path / ("fast" + suffix)).read_bytes()
