@@ -23,7 +23,7 @@ import numpy as np
 
 
 def _bench_mesh(n_dev: int, reads_per_chip: int, read_len: int,
-                iters: int = 5) -> dict:
+                iters: int = 5, skip_dsort: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -53,10 +53,17 @@ def _bench_mesh(n_dev: int, reads_per_chip: int, read_len: int,
             t_best = min(t_best, time.monotonic() - t0)
 
     # sharded dedup sort throughput (per-shard local sort under shard_map
-    # is what distributed_sort runs twice; this is its compute kernel)
+    # is what distributed_sort runs twice; this is its compute kernel).
+    # Keys pack 4 bytes/uint32 like production (bytes_to_words): rounds 1-3
+    # accidentally fed qc_step's [B, L//4] BYTE columns as 32 separate
+    # sort words — 33 LSD passes instead of 9 — underselling this metric
+    # ~2.7x (2.5M reads/s recorded in round 3 vs 7.1M measured correctly).
+    from ..ops.sortengine import bytes_to_words_host, sort_partition
+
     sumq = rng.integers(0, 4000, B).astype(np.uint32)
     # device-resident: transfers excluded (bench.py covers the host path)
-    wd = jnp.asarray(np.asarray(packed).astype(np.uint32))
+    wd = jnp.asarray(bytes_to_words_host(
+        np.ascontiguousarray(np.asarray(packed))))
     ld = jnp.asarray(lens)
     qd = jnp.asarray(sumq)
     res = dedup_sorted(wd, ld, qd, jnp.int32(B), maybe_padding=False)
@@ -68,22 +75,42 @@ def _bench_mesh(n_dev: int, reads_per_chip: int, read_len: int,
         int(res["n_groups"])
         t_sort = min(t_sort, time.monotonic() - t0)
 
+    # the production single-chip device kernel (tools/pipeline
+    # _sort_device_async): key-only sort — the sumQ representative is
+    # host arithmetic (rep_counts_host) and these fixed-length keys skip
+    # the length pass, two fewer LSD passes than dedup_sorted
+    sp = sort_partition(wd, ld, jnp.int32(B), length_key=False,
+                        maybe_padding=False)
+    jax.block_until_ready(sp[0])
+    t_prod = float("inf")
+    for _ in range(max(iters - 2, 1)):
+        t0 = time.monotonic()
+        sp = sort_partition(wd, ld, jnp.int32(B), length_key=False,
+                            maybe_padding=False)
+        int(jnp.sum(sp[1].astype(jnp.int32)))
+        t_prod = min(t_prod, time.monotonic() - t0)
+
     # full distributed ordered sort (sample-sort: local sorts + all_gather
     # splitters + bucket all_to_all + re-sort), end-to-end incl. shard puts
     from .dsort import distributed_sort
 
-    words_np = np.asarray(packed).astype(np.uint32)
-    distributed_sort(mesh, words_np, lens)  # compile + warm
     t_dsort = float("inf")
-    for _ in range(max(iters - 2, 1)):
-        t0 = time.monotonic()
-        distributed_sort(mesh, words_np, lens)
-        t_dsort = min(t_dsort, time.monotonic() - t0)
+    if not skip_dsort:
+        words_np = bytes_to_words_host(
+            np.ascontiguousarray(np.asarray(packed)))
+        distributed_sort(mesh, words_np, lens)  # compile + warm
+        for _ in range(max(iters - 2, 1)):
+            t0 = time.monotonic()
+            distributed_sort(mesh, words_np, lens)
+            t_dsort = min(t_dsort, time.monotonic() - t0)
 
-    return dict(n_dev=n_dev, reads=B,
-                qc_reads_per_s=B / t_best,
-                dedup_reads_per_s=B / t_sort,
-                dsort_reads_per_s=B / t_dsort)
+    out = dict(n_dev=n_dev, reads=B,
+               qc_reads_per_s=B / t_best,
+               dedup_reads_per_s=B / t_sort,
+               dedup_prod_reads_per_s=B / t_prod)
+    if not skip_dsort:
+        out["dsort_reads_per_s"] = B / t_dsort
+    return out
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -91,15 +118,19 @@ def main(argv: list[str] | None = None) -> int:
 
     argv = sys.argv[1:] if argv is None else argv
     reads_per_chip, read_len = 262144, 128
+    skip_dsort = False
     it = iter(argv)
     for a in it:
         if a == "--reads-per-chip":
             reads_per_chip = int(next(it))
         elif a == "--len":
             read_len = int(next(it))
+        elif a == "--skip-dsort":
+            skip_dsort = True
     n_all = len(jax.devices())
     sizes = sorted({1, 2, 4, n_all} & set(range(1, n_all + 1)))
-    rows = [_bench_mesh(n, reads_per_chip, read_len) for n in sizes]
+    rows = [_bench_mesh(n, reads_per_chip, read_len, skip_dsort=skip_dsort)
+            for n in sizes]
     base = rows[0]
     for r in rows:
         r["qc_scaling_eff"] = (r["qc_reads_per_s"]
