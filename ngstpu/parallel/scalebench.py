@@ -62,8 +62,10 @@ def _bench_mesh(n_dev: int, reads_per_chip: int, read_len: int,
 
     sumq = rng.integers(0, 4000, B).astype(np.uint32)
     # device-resident: transfers excluded (bench.py covers the host path)
-    wd = jnp.asarray(bytes_to_words_host(
-        np.ascontiguousarray(np.asarray(packed))))
+    pk = np.asarray(packed)
+    if pk.shape[1] % 4:  # zero-pad to a whole number of u32 words
+        pk = np.pad(pk, ((0, 0), (0, 4 - pk.shape[1] % 4)))
+    wd = jnp.asarray(bytes_to_words_host(np.ascontiguousarray(pk)))
     ld = jnp.asarray(lens)
     qd = jnp.asarray(sumq)
     res = dedup_sorted(wd, ld, qd, jnp.int32(B), maybe_padding=False)
@@ -96,8 +98,7 @@ def _bench_mesh(n_dev: int, reads_per_chip: int, read_len: int,
 
     t_dsort = float("inf")
     if not skip_dsort:
-        words_np = bytes_to_words_host(
-            np.ascontiguousarray(np.asarray(packed)))
+        words_np = np.asarray(wd)
         distributed_sort(mesh, words_np, lens)  # compile + warm
         for _ in range(max(iters - 2, 1)):
             t0 = time.monotonic()
@@ -114,7 +115,15 @@ def _bench_mesh(n_dev: int, reads_per_chip: int, read_len: int,
 
 
 def main(argv: list[str] | None = None) -> int:
+    import os
+
     import jax
+
+    # NGSTPU_PLATFORM=cpu (+ XLA_FLAGS=--xla_force_host_platform_device_
+    # count=N) runs the simulated-mesh rows: sitecustomize forces the
+    # axon platform, so the override must go through jax.config
+    if os.environ.get("NGSTPU_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["NGSTPU_PLATFORM"])
 
     argv = sys.argv[1:] if argv is None else argv
     reads_per_chip, read_len = 262144, 128
