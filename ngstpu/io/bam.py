@@ -557,7 +557,8 @@ def stream_depth_dense(path: str, flag_mask: int,
 
 
 def stream_pileup_events(path: str, flag_mask: int,
-                         chunk_bytes: int = 32 << 20):
+                         chunk_bytes: int = 32 << 20,
+                         pooled_flush: bool = False):
     """Event-mode pileup stream (the low-depth bam2depth/bam2wig fast
     path): yields (pos, delta) int32 event arrays per reference in header
     order — the stream_chrom_events contract — but decodes through the
@@ -591,7 +592,7 @@ def stream_pileup_events(path: str, flag_mask: int,
     def gen():
         try:
             yield from _gen_events(inf, initial_carry, n_refs, flag_mask,
-                                   lib, genome)
+                                   lib, genome, pooled_flush)
         finally:
             # abandoned-generator / error path: release the fd and unpark
             # the prefetch producer thread
@@ -601,7 +602,7 @@ def stream_pileup_events(path: str, flag_mask: int,
 
 
 def _gen_events(inf, initial_carry: bytes, n_refs: int, flag_mask: int,
-                lib, genome: int = 0):
+                lib, genome: int = 0, pooled_flush: bool = False):
     import ctypes
 
     from ..utils.bufpool import get_buffer
@@ -613,6 +614,8 @@ def _gen_events(inf, initial_carry: bytes, n_refs: int, flag_mask: int,
     emitted = 0
     empty = (np.zeros(0, np.int32), np.zeros(0, np.int32))
 
+    flush_flip = [0]
+
     def flush(t):
         nonlocal pending_events
         pieces = pending.pop(t, None)
@@ -621,10 +624,23 @@ def _gen_events(inf, initial_carry: bytes, n_refs: int, flag_mask: int,
         pending_events -= sum(len(s) for s, _ in pieces)
         # layout [all starts | all ends] (chunk order preserved): the
         # starts half of a coordinate-sorted input is ascending, which
-        # merged_intervals_runs exploits to sort only the ends half
+        # merged_intervals_runs exploits to sort only the ends half.
+        # pooled_flush=True rotates three pooled buffer pairs instead of
+        # allocating fresh arrays per chromosome (a measured fault-noise
+        # source on this host) — CONTRACT: a yielded (pos, delta) is then
+        # valid only until the THIRD following flush; the CLI tools
+        # consume each chromosome before pulling two more (even through
+        # their 1-deep prefetch), while collect-everything callers keep
+        # the default copy semantics.
         ns = sum(len(s) for s, _ in pieces)
-        pos = np.empty(2 * ns, np.int32)
-        delta = np.empty(2 * ns, np.int32)
+        if pooled_flush:
+            name = f"bamev.flush{flush_flip[0]}"
+            flush_flip[0] = (flush_flip[0] + 1) % 3
+            pos = get_buffer(name + ".pos", 8 * ns, np.int32)
+            delta = get_buffer(name + ".delta", 8 * ns, np.int32)
+        else:
+            pos = np.empty(2 * ns, np.int32)
+            delta = np.empty(2 * ns, np.int32)
         o = 0
         for s, e in pieces:
             k = len(s)

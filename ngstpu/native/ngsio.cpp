@@ -1772,8 +1772,12 @@ void ngs_bam_scan(const uint8_t* buf, int64_t n,
 static void radix_sort_i32(std::vector<int32_t>& v) {
     int64_t n = (int64_t)v.size();
     if (n < 2) return;
-    std::vector<int32_t> tmp(n);
-    std::vector<int64_t> hist(1 << 16);
+    // thread_local scratch: see ngs_pileup_emit_se (fault once, reuse
+    // across the per-chromosome calls)
+    thread_local std::vector<int32_t> tmp;
+    thread_local std::vector<int64_t> hist;
+    tmp.resize(n);
+    hist.resize(1 << 16);
     for (int64_t i = 0; i < n; ++i)
         v[i] = (int32_t)(((uint32_t)v[i]) ^ 0x80000000u);
     int32_t* src = v.data();
@@ -1924,9 +1928,15 @@ int64_t ngs_pileup_emit_se(const int32_t* starts, const int32_t* ends,
                            uint8_t* text, int64_t cap, int nthreads) {
     (void)nthreads;
     if (n == 0) return 0;
-    // greedy monotone cover of starts (see ngs_pileup_sweep_se)
-    std::vector<int32_t> main_s;
-    std::vector<int32_t> extra_s;
+    // thread_local scratch: capacity persists across the per-chromosome
+    // calls of a WGS run, so the ~3n of working ints fault exactly once
+    // per process instead of per chromosome (this host's anonymous-page
+    // faults are slow AND erratic — a measured variance source)
+    thread_local std::vector<int32_t> main_s;
+    thread_local std::vector<int32_t> extra_s;
+    thread_local std::vector<int32_t> se;
+    main_s.clear();
+    extra_s.clear();
     main_s.reserve(n);
     int32_t run_max = starts[0];
     for (int64_t i = 0; i < n; ++i) {
@@ -1938,7 +1948,7 @@ int64_t ngs_pileup_emit_se(const int32_t* starts, const int32_t* ends,
         }
     }
     radix_sort_i32(extra_s);
-    std::vector<int32_t> se(ends, ends + n);
+    se.assign(ends, ends + n);
     radix_sort_i32(se);
 
     uint8_t* o = text;

@@ -65,7 +65,7 @@ def process_bam(path: str, index1: int, outfile: str, window: int,
         # low-depth WGS shape: O(events) radix sweep instead of the
         # O(genome) dense scatter; the 1-deep prefetch overlaps chrom
         # k's file write with the decode+sweep+format of chrom k+1
-        ev = stream_pileup_events(path, DEF_MASK)
+        ev = stream_pileup_events(path, DEF_MASK, pooled_flush=True)
         if ev is not None:
             header, events = ev
             _emit_outputs(path, header,

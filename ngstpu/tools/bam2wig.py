@@ -33,7 +33,7 @@ def process_bam(path: str, index1: int, outfile: str, window: int,
     mode = choose_pileup_mode(path)
     if mode == "events":
         # low-depth WGS shape: O(events) radix sweep (see bam2depth)
-        ev = stream_pileup_events(path, FUNMAP)
+        ev = stream_pileup_events(path, FUNMAP, pooled_flush=True)
         if ev is not None:
             from ..ops.bamops import merged_intervals_runs
 
