@@ -86,6 +86,11 @@ def _inflate_gz(path: str, pool: str) -> np.ndarray | None:
     if 4 * n > est_max:
         return None
     raw = np.fromfile(path, np.uint8)
+
+    out = _inflate_gz_members_parallel(lib, raw, pool)
+    if out is not None:
+        return out
+
     # ISIZE comes from the (untrusted) trailer: a truncated/corrupt file
     # reads 4 arbitrary bytes here, so clamp to DEFLATE's maximum
     # compression ratio (~1032:1) before sizing any allocation
@@ -108,6 +113,60 @@ def _inflate_gz(path: str, pool: str) -> np.ndarray | None:
             return out[:int(sizes[0])]
         cap *= 2
     return None
+
+
+def _inflate_gz_members_parallel(lib, raw: np.ndarray,
+                                 pool: str) -> np.ndarray | None:
+    """Member-parallel inflate of a MULTI-member gzip file (pigz, BGZF,
+    our ParallelGzipWriter — the standard parallel-gzip layouts): find
+    candidate member boundaries by magic scan (1f 8b 08 with zero
+    reserved FLG bits), take each member's inflated size from the ISIZE
+    trailer right before the next boundary, and decode every member
+    concurrently straight into place (ngs_bgzf_inflate_blocks — raw
+    DEFLATE, per-member). Entirely speculative and self-validating: a
+    false boundary (the 3-byte magic inside compressed data) makes some
+    member's decode fail or its produced size mismatch, and the caller
+    falls back to the sequential whole-file walk with identical output.
+    Returns None when the layout doesn't hold (single member, implausible
+    trailer sizes, or any decode mismatch). Halves the gz fast-path
+    inflate wall on this 2-core host (the reference decodes serially
+    through zlib's gzgets either way, IO_stream.h:122-136)."""
+    from ..utils.bufpool import get_buffer
+
+    n = len(raw)
+    if n < 40:
+        return None
+    hits = np.flatnonzero((raw[:-17] == 0x1F) & (raw[1:-16] == 0x8B)
+                          & (raw[2:-15] == 8) & ((raw[3:-14] & 0xE0) == 0))
+    starts = hits[np.searchsorted(hits, 0, "left"):]
+    if len(starts) < 2 or starts[0] != 0 or len(starts) > (1 << 20):
+        return None
+    ends = np.append(starts[1:], n).astype(np.int64)
+    starts = starts.astype(np.int64)
+    lens = ends - starts
+    if (lens < 28).any():  # header(10) + trailer(8) + some payload
+        return None
+    isizes = np.ascontiguousarray(
+        raw[(ends[:, None] + np.arange(-4, 0)[None, :]).reshape(-1)]
+    ).view(np.uint32).astype(np.int64)
+    # plausibility: DEFLATE can't exceed ~1032x; zero-size members are
+    # legal (empty writer flushes) but a giant claimed total is not
+    if (isizes > 1032 * lens).any():
+        return None
+    total = int(isizes.sum())
+    if total > 1032 * n or total <= 0:
+        return None
+    offs = np.zeros(len(starts), np.int64)
+    np.cumsum(isizes[:-1], out=offs[1:])
+    out = get_buffer(pool + ".gzdata", total)
+    sizes = np.empty(len(starts), np.int64)
+    rc = lib.ngs_bgzf_inflate_blocks(
+        raw, starts, np.ascontiguousarray(lens), len(starts), out, offs,
+        np.ascontiguousarray(isizes), sizes,
+        1 if os.environ.get("NGSTPU_BGZF_CRC") else 0, 0)
+    if rc != 0 or not (sizes == isizes).all():
+        return None  # speculative split was wrong: sequential fallback
+    return out[:total]
 
 
 def _load_data(path: str | None, pool: str | None) -> np.ndarray | None:

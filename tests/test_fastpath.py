@@ -318,3 +318,45 @@ def test_gz_inflate_size_gate_routes_to_generic(tmp_path, monkeypatch):
     for s in (".trim.fastq", "_uniq.fq", "_sortKeyUniq.fq"):
         assert (tmp_path / ("gated" + s)).read_bytes() == \
             (tmp_path / ("plain" + s)).read_bytes(), s
+
+
+def test_gz_multimember_parallel_inflate(tmp_path):
+    """A pigz-style multi-member .gz decodes member-parallel (boundaries
+    from the magic scan, sizes from the ISIZE trailers) with output
+    identical to the sequential walk; a payload that happens to CONTAIN
+    the gzip magic (level-0 stored block) defeats the speculative split
+    and must fall back to the sequential path with identical output."""
+    import zlib
+
+    import numpy as np
+
+    from ngstpu.io.fastindex import (_inflate_gz_members_parallel,
+                                     index_fastq)
+    from ngstpu.io.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native library unavailable")
+
+    parts = [random_fastq(400, read_len=60, seed=100 + i, dup_frac=0.2)
+             for i in range(5)]
+    pz = tmp_path / "mm.fq.gz"
+    pz.write_bytes(b"".join(gzip.compress(p, mtime=0) for p in parts))
+    raw = np.fromfile(pz, np.uint8)
+    out = _inflate_gz_members_parallel(lib, raw, "t.par")
+    assert out is not None, "multi-member file must take the parallel path"
+    assert out.tobytes() == b"".join(parts)
+    ix = index_fastq(str(pz), pool="t.par2")
+    assert ix is not None and ix.n == 2000
+
+    # false candidate: a stored (level-0) member whose payload embeds the
+    # gzip magic — the speculative split self-detects and returns None
+    name_trap = b"@r\x1f\x8b\x08\x00trap\nACGT\n+\n!!!!\n"
+    co = zlib.compressobj(0, zlib.DEFLATED, 16 + 15)
+    trap = co.compress(name_trap) + co.flush()
+    pz2 = tmp_path / "trap.fq.gz"
+    pz2.write_bytes(gzip.compress(parts[0], mtime=0) + trap)
+    raw2 = np.fromfile(pz2, np.uint8)
+    assert _inflate_gz_members_parallel(lib, raw2, "t.trap") is None
+    ix2 = index_fastq(str(pz2), pool="t.trap2")  # sequential fallback
+    assert ix2 is not None and ix2.n == 401
