@@ -85,7 +85,11 @@ def _inflate_gz(path: str, pool: str) -> np.ndarray | None:
     est_max = int(os.environ.get("NGSTPU_GZ_INFLATE_MAX", 2 << 30))
     if 4 * n > est_max:
         return None
-    raw = np.fromfile(path, np.uint8)
+    # mmap the compressed bytes: the decoders read the page cache
+    # directly — np.fromfile would copy every compressed byte first
+    with open(path, "rb") as f:
+        mm = mmap.mmap(f.fileno(), 0, prot=mmap.PROT_READ)
+    raw = np.frombuffer(mm, np.uint8)
 
     out = _inflate_gz_members_parallel(lib, raw, pool)
     if out is not None:
@@ -136,10 +140,18 @@ def _inflate_gz_members_parallel(lib, raw: np.ndarray,
     n = len(raw)
     if n < 40:
         return None
-    hits = np.flatnonzero((raw[:-17] == 0x1F) & (raw[1:-16] == 0x8B)
-                          & (raw[2:-15] == 8) & ((raw[3:-14] & 0xE0) == 0))
-    starts = hits[np.searchsorted(hits, 0, "left"):]
-    if len(starts) < 2 or starts[0] != 0 or len(starts) > (1 << 20):
+    # candidate scan: parallel memchr for 0x1f, then the cheap per-hit
+    # magic/FLG checks on the (few) hits only
+    cap = 1 << 20
+    c0 = np.empty(cap, np.int64)
+    total = lib.ngs_find_byte(raw, n - 17, 0x1F, c0, cap, 0)
+    if total > cap:
+        return None  # implausibly magic-dense; sequential path
+    c0 = c0[:total]
+    m = (raw[c0 + 1] == 0x8B) & (raw[c0 + 2] == 8) \
+        & ((raw[c0 + 3] & 0xE0) == 0)
+    starts = c0[m]
+    if len(starts) < 2 or starts[0] != 0:
         return None
     ends = np.append(starts[1:], n).astype(np.int64)
     starts = starts.astype(np.int64)

@@ -81,6 +81,8 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, _int]
         lib.ngs_count_newlines.restype = _i64
         lib.ngs_count_newlines.argtypes = [_p_u8, _i64, _int]
+        lib.ngs_find_byte.restype = _i64
+        lib.ngs_find_byte.argtypes = [_p_u8, _i64, _int, _p_i64, _i64, _int]
         lib.ngs_find_newlines.restype = _i64
         lib.ngs_find_newlines.argtypes = [_p_u8, _i64, _p_i64, _int]
         lib.ngs_fill_padded.argtypes = [_p_u8, _p_i64, _p_i32, _i64, _i64,
