@@ -670,8 +670,11 @@ def _gen_events(inf, initial_carry: bytes, n_refs: int, flag_mask: int,
         # dense-cigar chunk does overflow, rc==3 stops at a record
         # boundary; the events drain into `pending` and the walk resumes.
         # The floor far exceeds the 65535-op single-record maximum, so
-        # forward progress is guaranteed.
-        cap = max(1 << 20, len(body) // 16)
+        # forward progress is guaranteed. NGSTPU_EVENT_CAP overrides for
+        # tests of the resume loop (must stay >= the max per-record op
+        # count of the input or the walk cannot advance).
+        cap = int(os.environ.get("NGSTPU_EVENT_CAP", 0)) \
+            or max(1 << 20, len(body) // 16)
         off = 0
         n_ev = ctypes.c_int64()
         consumed_c = ctypes.c_int64()

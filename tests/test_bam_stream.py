@@ -453,3 +453,35 @@ def test_prefetch1_closes_abandoned_source():
     it2.close()
     assert closed2.wait(timeout=5.0)
     time.sleep(0)  # let worker threads finish quietly
+
+
+def test_event_extraction_buffer_full_resume(tmp_path, monkeypatch):
+    """The rc==3 capped-buffer path: with a tiny event capacity the
+    extractor stops at record boundaries and resumes, and the emitted
+    per-chromosome events are identical to an uncapped run."""
+    from ngstpu.io.bam import DEF_MASK, stream_pileup_events
+    from ngstpu.io.native import get_lib
+    from ngstpu.testing.bamfixtures import encode_record, make_bam
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    seq = "ACGT" * 25
+    recs = [encode_record(f"r{i}", i % 2, 10 + 3 * i, 30,
+                          "40M5D30M2I28M", seq)  # 3 M-runs per record
+            for i in range(60)]
+    recs.sort(key=lambda r: r[0])  # keep encode order; tids interleave
+    bam = tmp_path / "cap.bam"
+    make_bam(str(bam), [("c1", 5000), ("c2", 5000)], recs)
+
+    def collect():
+        header, events = stream_pileup_events(str(bam), DEF_MASK)
+        return [np.sort(p.astype(np.int64) * 4 + (d + 1)) for p, d in
+                events]
+
+    base = collect()
+    monkeypatch.setenv("NGSTPU_EVENT_CAP", "7")  # > 3 ops/record, tiny
+    capped = collect()
+    monkeypatch.delenv("NGSTPU_EVENT_CAP")
+    assert len(base) == len(capped) == 2
+    for a, b in zip(base, capped):
+        assert np.array_equal(a, b)
