@@ -293,9 +293,12 @@ def merged_intervals_runs(pos: np.ndarray, delta: np.ndarray,
     return merged_intervals(pos, delta, placement)
 
 
+_EMIT_ROTATE = [0]
+
+
 def pileup_emit_runs(pos: np.ndarray, delta: np.ndarray, name: bytes,
                      window: int, n_windows: int
-                     ) -> tuple[bytes, np.ndarray] | None:
+                     ) -> tuple[memoryview, np.ndarray] | None:
     """Fully fused event-mode bam2depth emitter: one native pass
     (ngs_pileup_emit_se) produces the merged bedGraph row bytes AND the
     exact depth_window_bins — equivalent to merged_intervals_runs +
@@ -317,9 +320,19 @@ def pileup_emit_runs(pos: np.ndarray, delta: np.ndarray, name: bytes,
     if lib is None or not ((delta[:ns] == 1).all()
                            and (delta[ns:] == -1).all()):
         return None
+    from ..utils.bufpool import get_buffer
+
     bins = np.zeros(n_windows + 2, np.float64)
     cap = (n + 2) * (len(name) + 70)
-    text = np.empty(cap, np.uint8)
+    # pooled 3-rotation text buffer, returned as a ZERO-COPY view: a
+    # fresh ~20MB allocation + .tobytes() copy per chromosome cost
+    # ~0.3-0.5 core-seconds of fault+memcpy noise per WGS run. CONTRACT:
+    # the view is valid until the THIRD following call — the bam2depth
+    # emit loop (even through its 1-deep prefetch) writes each
+    # chromosome's rows before pulling two more.
+    slot = _EMIT_ROTATE[0]
+    _EMIT_ROTATE[0] = (slot + 1) % 3
+    text = get_buffer(f"bamops.emit{slot}", cap)
     w = lib.ngs_pileup_emit_se(
         np.ascontiguousarray(pos[:ns], np.int32),
         np.ascontiguousarray(pos[ns:], np.int32), ns,
@@ -327,7 +340,7 @@ def pileup_emit_runs(pos: np.ndarray, delta: np.ndarray, name: bytes,
         text, cap, 0)
     if w < 0:  # cap bound above is a proof; defensive only
         raise ValueError("pileup emit buffer overflow")
-    return text[:w].tobytes(), bins[:n_windows]
+    return text[:w].data, bins[:n_windows]
 
 
 def depth_window_bins(starts, ends, depths, window: int,

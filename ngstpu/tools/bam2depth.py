@@ -150,9 +150,9 @@ def _emit_loop(header, rows_and_bins, bedgraph, depth_out, wig_out,
     for (name, tlen), (rows_b, bins) in zip(
             zip(header.ref_names, header.ref_lens), rows_and_bins):
         n_windows = tlen // window + 1
-        if rows_b:
+        if len(rows_b):
             if bedgraph is sys.stdout:  # keep text-layer ordering on stdout
-                bedgraph.write(rows_b.decode())
+                bedgraph.write(bytes(rows_b).decode())
             else:
                 # bytes straight to the OS buffer: the bedGraph is the big
                 # output (tens of MB); decode+re-encode through the text
