@@ -262,7 +262,7 @@ def index_fastq(path: str | None,
                         qual_off, qual_len)
 
 
-def index_fastq_fused(path: str | None, pool: str):
+def index_fastq_fused(path: str | None, pool: str, want_hist: bool = True):
     """Index + fused QC/pack in ONE sweep over the bytes
     (ngs_fastq_index_fused): the record offsets AND the QC histograms,
     quality sums, 2-bit sort keys and bucket histogram come out of the
@@ -272,6 +272,10 @@ def index_fastq_fused(path: str | None, pool: str):
      hist_len u64 [512], bucket u32 [256], all_acgt: bool)
     or None when the fast path does not apply. Buffers come from the
     bufpool under `pool`.`name` (aliased across calls with the same pool).
+
+    want_hist=False skips the per-cycle quality histogram (the hottest
+    increment stream of the pass: reads x read_len table updates) for
+    callers that only dedup/sort — hist_q comes back None.
     """
     from ..utils.bufpool import get_buffer, get_matrix
 
@@ -298,13 +302,15 @@ def index_fastq_fused(path: str | None, pool: str):
     qual_len = get_buffer(pool + ".ix.qual_len", 4 * b, np.int32)[:b]
     words_all = get_matrix(pool + ".words", b, W, np.uint32)
     sumq = get_buffer(pool + ".sumq", 4 * b, np.uint32)[:b]
-    hist_q = np.zeros((512, 128), np.uint64)
+    hist_q = np.zeros((512, 128), np.uint64) if want_hist else None
     hist_len = np.zeros(512, np.uint64)
     bucket = np.zeros(256, np.uint32)
+    hq_ptr = (hist_q.ctypes.data_as(ctypes.c_void_p) if hist_q is not None
+              else None)
     bad = lib.ngs_fastq_index_fused(
         data, len(data), state, name_off, name_len, seq_off, seq_len,
-        qual_off, qual_len, W, words_all, sumq, hist_q.reshape(-1),
-        hist_len, hist_q.shape[1], hist_q.shape[0], bucket, 0)
+        qual_off, qual_len, W, words_all, sumq, hq_ptr,
+        hist_len, 128, 512, bucket, 0)
     ix = IndexedFastq(data, name_off, name_len, seq_off, seq_len,
                       qual_off, qual_len)
     return ix, words_all, sumq, hist_q, hist_len, bucket, bad == 0

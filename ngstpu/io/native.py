@@ -113,7 +113,7 @@ def get_lib() -> ctypes.CDLL | None:
             _i64,
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+            ctypes.c_void_p,  # hist_q u64* or NULL (skip quality histogram)
             np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
             _i64, _i64,
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"), _int]

@@ -1,0 +1,223 @@
+"""Writer/sort-dispatch machinery shared by the offset-indexed fast
+paths (pipeline, gzfastq_uniq, gzfastq_sort) — deliberately jax-free at
+import time so host-placement CLI runs skip the ~1.8s interpreter-startup
+device registration entirely (jax loads lazily inside the device branch).
+
+The ring writer is the output half of the reference's kt_pipeline overlap
+(reference klib/kthread.c:83-143): formatting chunk k+1 overlaps writing
+chunk k, buffers come from the persistent pool, and the duplicate uniq
+output is a kernel-side copy_file_range clone.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+
+import numpy as np
+
+N_PARTS = 4
+CHUNK_RECORDS = 1 << 19
+
+class _RingWriter:
+    """Background single-file writer fed from a ring of pooled buffers.
+
+    The producer borrows a buffer name via `acquire()`, fills it, and
+    `submit()`s (view, nbytes); the writer thread writes and returns the
+    name to the free ring — formatting chunk k+1 overlaps writing chunk k
+    without ever copying the text (the kt_pipeline overlap of reference
+    klib/kthread.c:83-143 on the output side)."""
+
+    def __init__(self, sink, names: list[str]):
+        self._sink = sink
+        self._free: "queue.Queue[str]" = queue.Queue()
+        for n in names:
+            self._free.put(n)
+        self._work: "queue.Queue[tuple | None]" = queue.Queue()
+        self._err: BaseException | None = None
+        self._t = threading.Thread(target=self._drain, daemon=True)
+        self._t.start()
+
+    def acquire(self) -> str:
+        return self._free.get()
+
+    def submit(self, name: str, view: np.ndarray, nbytes: int) -> None:
+        self._work.put((name, view, nbytes))
+
+    def _drain(self) -> None:
+        while True:
+            item = self._work.get()
+            if item is None:
+                return
+            name, view, nbytes = item
+            if self._err is None:
+                try:
+                    self._sink.write(memoryview(view[:nbytes]))
+                except BaseException as e:
+                    self._err = e
+            self._free.put(name)
+
+    def close(self) -> None:
+        if self._t is not None:
+            self._work.put(None)
+            self._t.join()
+            self._t = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+
+class _CloningSink:
+    """Write each block to f1 and kernel-clone the written range into f2
+    (the two uniq outputs are byte-identical; copy_file_range avoids a
+    second user-space pass over the text). Falls back to a plain double
+    write where copy_file_range is unsupported."""
+
+    def __init__(self, f1, f2):
+        self._f1, self._f2 = f1, f2
+        self._off = 0
+        self._cfr = hasattr(os, "copy_file_range")
+
+    def write(self, mv) -> None:
+        n = len(mv)
+        self._f1.write(mv)
+        done = 0
+        if self._cfr:
+            try:
+                while done < n:
+                    k = os.copy_file_range(
+                        self._f1.fileno(), self._f2.fileno(), n - done,
+                        self._off + done, self._off + done)
+                    if k == 0:
+                        break
+                    done += k
+            except OSError:
+                self._cfr = False
+        if done < n:
+            self._f2.seek(self._off + done)
+            self._f2.write(mv[done:])
+        self._off += n
+
+
+def _fresh(path: str) -> str:
+    """Unlink `path` before (re)creating it: truncate-open of a file whose
+    pages are still dirty in cache forces synchronous invalidation (up to
+    ~0.7s per 300MB output measured here); unlinking instead lets the
+    kernel drop the old inode's dirty pages in the background."""
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
+    return path
+
+
+def _partition_bounds(bucket_hist: np.ndarray, n_parts: int) -> np.ndarray:
+    """Key-range split points (leading packed byte) giving ~equal rows."""
+    cum = np.cumsum(bucket_hist.astype(np.int64))
+    total = int(cum[-1])
+    targets = (np.arange(1, n_parts) * total) // n_parts
+    return np.searchsorted(cum, targets).astype(np.uint32)
+
+def _sort_host_async(words_all: np.ndarray, key_lens: np.ndarray,
+                     sumq_all: np.ndarray, const_len: bool):
+    """Host placement of the dedup sort (thin accelerator link): ONE native
+    call fuses the bucketed parallel sort with group/representative/count
+    extraction (each bucket's groups are scanned while its rows are still
+    cache-hot). The call runs on a background thread STARTED NOW (ctypes
+    releases the GIL), so it fills the CPU stalls of the trim loop's ring
+    writer; the returned generator joins, then yields group blocks."""
+    import ctypes
+    import threading
+
+    from ..io.native import get_lib
+    from ..utils.bufpool import get_buffer
+
+    B = len(words_all)
+    lib = get_lib()
+    perm = get_buffer("pipe.perm", 4 * B, np.int32)[:B]
+    rep = get_buffer("pipe.rep", 8 * B, np.int64)[:B]
+    counts = get_buffer("pipe.cnt", 8 * B, np.int64)[:B]
+    lens = np.ascontiguousarray(key_lens, np.int32)
+    box: list = []
+
+    def run():
+        try:
+            box.append(lib.ngs_dedup_groups_host(
+                words_all, lens.ctypes.data_as(ctypes.c_void_p), sumq_all,
+                0 if const_len else 1, B, words_all.shape[1], perm, rep,
+                counts, 0))
+        except BaseException as e:  # pragma: no cover - surfaced on join
+            box.append(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+
+    def gen():
+        t.join()
+        if box and isinstance(box[0], BaseException):
+            raise box[0]
+        g = box[0]
+        step = 1 << 19
+        for lo in range(0, g, step):
+            hi = min(lo + step, g)
+            yield rep[lo:hi], counts[lo:hi]
+
+    return gen()
+
+
+def _sort_device_async(words_all: np.ndarray, key_lens: np.ndarray,
+                       sumq_all: np.ndarray, bucket: np.ndarray,
+                       const_len: bool, W: int):
+    """Device placement: partition rows by leading packed byte (prefix
+    order == sdscmp order on the 2-bit alphabet) and dispatch one async
+    LSD sort per partition IMMEDIATELY — the device sorts all partitions
+    while the caller's trim loop runs; the returned generator then yields
+    each partition's groups as its results land (the emit of partition p
+    still overlaps the pull of partition p+1)."""
+    import jax.numpy as jnp
+
+    from ..ops.sortengine import rep_counts_host, sort_partition
+    from ..utils.bufpool import get_buffer, get_matrix
+
+    B = len(words_all)
+    bounds = _partition_bounds(bucket, N_PARTS)
+    top = words_all[:, 0] >> np.uint32(24) if B else np.zeros(0, np.uint32)
+    part = np.searchsorted(bounds, top, side="right")
+    handles = []
+    for p in range(N_PARTS):
+        idx_p = np.flatnonzero(part == p).astype(np.int64)
+        n_p = len(idx_p)
+        if n_p == 0:
+            continue
+        cap = -(-n_p // (256 << 10)) * (256 << 10)
+        stage = get_matrix(f"pipe.stage{p}", cap, W, np.uint32)
+        np.take(words_all, idx_p, axis=0, out=stage[:n_p])
+        if cap > n_p:
+            stage[n_p:] = 0
+        w_dev = jnp.asarray(stage)
+        if const_len:
+            l_dev = jnp.zeros((cap,), jnp.int32)
+        else:
+            lstage = get_buffer(f"pipe.lens{p}", 4 * cap, np.int32)
+            np.take(np.asarray(key_lens, np.int32), idx_p,
+                    out=lstage[:n_p])
+            if cap > n_p:
+                lstage[n_p:] = 0
+            l_dev = jnp.asarray(lstage)
+        perm, is_head = sort_partition(w_dev, l_dev, jnp.int32(n_p),
+                                       length_key=not const_len,
+                                       maybe_padding=cap > n_p)
+        handles.append((perm, is_head, idx_p, n_p))
+
+    def gen():
+        for perm_d, is_head_d, idx_p, n_p in handles:
+            perm = np.asarray(perm_d)[:n_p]
+            is_head = np.asarray(is_head_d)[:n_p]
+            rep_local, counts = rep_counts_host(perm, is_head, n_p,
+                                                sumq_all[idx_p])
+            yield idx_p[rep_local], counts
+
+    return gen()
+
+

@@ -86,7 +86,7 @@ def _trim_fast(infile: str, outfile: str, start: int, end: int) -> int | None:
     as tools/pipeline.run_fast). None when the fast path does not apply."""
     from ..io.fastindex import index_fastq, trim_text
     from ..utils.bufpool import get_buffer
-    from .pipeline import CHUNK_RECORDS, _RingWriter
+    from .emitters import CHUNK_RECORDS, _RingWriter
 
     ix = index_fastq(infile)
     if ix is None:

@@ -14,13 +14,15 @@ import getopt
 import sys
 
 import numpy as np
-import jax.numpy as jnp
 
 from ..io.fastq import format_fastq, read_fastq_file
-from ..io.native import fill_padded
 from ..io.stream import open_output, with_suffix
-from ..ops.sortengine import bytes_to_words, lex_argsort, seq_words
 from ..utils.timing import StageTimer
+
+# jax / the device sort engine / fill_padded import lazily inside the
+# generic-path functions — the offset-indexed host fast path never touches
+# the device, and interpreter-startup jax registration costs ~1.8s per CLI
+# run on this box.
 
 OUT_CHUNK = 1 << 20
 
@@ -80,7 +82,7 @@ def _run_sort_fast(infile: str, outfile: str, by_name: bool,
     from ..ops.sortengine import _DNA3_OK, sort_perm_host
     from ..utils.bufpool import get_buffer, get_matrix
     from ..utils.linkprobe import link_verdict, probe_link
-    from .pipeline import _RingWriter, _fresh
+    from .emitters import _RingWriter, _fresh
 
     if (not outfile or outfile.startswith("-")
             or os.environ.get("NGSTPU_NO_FASTPATH")):
@@ -88,11 +90,15 @@ def _run_sort_fast(infile: str, outfile: str, by_name: bool,
     lib = get_lib()
     if lib is None:
         return False
+    from ..utils.timing import StageRusage
+
+    ru = StageRusage()
     ix = index_fastq(infile, pool="sort.ix")
     if ix is None or ix.n == 0:
         return False
     B = ix.n
     timer.log("done read file at %.3f s\n")
+    ru.checkpoint("index")
     offs = ix.name_off if by_name else ix.seq_off
     klens = np.ascontiguousarray(ix.name_len if by_name else ix.seq_len,
                                  np.int32)
@@ -141,10 +147,15 @@ def _run_sort_fast(infile: str, outfile: str, by_name: bool,
     if v == "host":
         perm = sort_perm_host(words, klens, True)
     else:
+        import jax.numpy as jnp
+
+        from ..ops.sortengine import lex_argsort
+
         perm = np.asarray(lex_argsort(jnp.asarray(words),
                                       jnp.asarray(klens),
                                       length_first=True))
     timer.log("done qsort file at %.3f s\n")
+    ru.checkpoint("pack_sort")
 
     suffix = "_sort_by_name.fq" if by_name else "_sort_by_seq.fq"
     with open(_fresh(with_suffix(outfile, suffix)), "wb",
@@ -159,6 +170,8 @@ def _run_sort_fast(infile: str, outfile: str, by_name: bool,
         finally:
             w.close()
     timer.log("done write file at %.3f s\n")
+    ru.checkpoint("emit_write")
+    ru.dump(tool="gzfastq_sort", reads=B, placement=v or "device")
     return True
 
 
@@ -187,12 +200,18 @@ def sort_perm_by_seq(batch, mesh_n: int = 0) -> np.ndarray:
         perm = sort_perm_host(seq_words_host(batch.seq), batch.lens, True)
         if perm is not None:
             return perm
+    import jax.numpy as jnp
+
+    from ..ops.sortengine import lex_argsort, seq_words
+
     words = seq_words(batch.seq)
     return np.asarray(lex_argsort(words, jnp.asarray(batch.lens),
                                   length_first=True))
 
 
 def sort_perm_by_name(batch, mesh_n: int = 0) -> np.ndarray:
+    from ..io.native import fill_padded
+
     lmax = max(int(batch.name_lens.max(initial=0)), 4)
     lmax = (lmax + 3) // 4 * 4
     padded = fill_padded(batch.names, batch.name_starts, batch.name_lens, lmax)
@@ -209,6 +228,10 @@ def sort_perm_by_name(batch, mesh_n: int = 0) -> np.ndarray:
                               True)
         if perm is not None:
             return perm
+    import jax.numpy as jnp
+
+    from ..ops.sortengine import bytes_to_words, lex_argsort
+
     words = bytes_to_words(jnp.asarray(padded))
     return np.asarray(lex_argsort(words, jnp.asarray(batch.name_lens),
                                   length_first=True))

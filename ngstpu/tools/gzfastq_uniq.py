@@ -23,14 +23,16 @@ import getopt
 import sys
 
 import numpy as np
-import jax.numpy as jnp
 
 from ..io.fastq import format_fastq, read_fastq_file
 from ..io.native import concat_pairs
 from ..io.stream import open_output, with_suffix
-from ..ops.sortengine import (dedup_groups, pack_for_dedup, seq_words,
-                              sum_quality_host)
 from ..utils.timing import StageTimer
+
+# jax and the device sort engine import lazily (inside the generic-path
+# functions): the offset-indexed host fast paths never touch the device,
+# and on this box the interpreter-startup jax/axon registration costs
+# ~1.8s per CLI invocation — real money against a ~10s 10M-read run.
 
 OUT_CHUNK = 1 << 20
 
@@ -40,7 +42,7 @@ def _pad4(n: int) -> int:
 
 
 def dedup_device(seq_padded: np.ndarray, lens: np.ndarray,
-                 sumq: jnp.ndarray, mesh_n: int = 0):
+                 sumq, mesh_n: int = 0):
     """Run the device dedup; returns host arrays (heads in key-sorted order):
     (rep_idx, counts, n_groups).
 
@@ -48,6 +50,10 @@ def dedup_device(seq_padded: np.ndarray, lens: np.ndarray,
     all_to_all + per-shard sort; parallel/dsort.py) — output is
     bit-identical to the single-chip path.
     """
+    import jax.numpy as jnp
+
+    from ..ops.sortengine import dedup_groups, pack_for_dedup, seq_words
+
     if mesh_n > 1:
         import jax
 
@@ -105,12 +111,15 @@ def _run_se_fast(read1: str, outfile: str, timer: StageTimer) -> bool:
     Returns False when the fast path does not apply."""
     from ..io.fastindex import index_fastq_fused, uniq_text
     from ..utils.linkprobe import link_verdict, probe_link
-    from .pipeline import (_CloningSink, _RingWriter, _sort_device_async,
+    from .emitters import (_CloningSink, _RingWriter, _sort_device_async,
                            _sort_host_async)
 
     if not outfile or outfile.startswith("-"):
         return False
-    fused = index_fastq_fused(read1, pool="pipe")
+    from ..utils.timing import StageRusage
+
+    ru = StageRusage()
+    fused = index_fastq_fused(read1, pool="pipe", want_hist=False)
     if fused is None:
         return False
     ix, words, sumq, _hist_q, _hist_len, bucket, ok = fused
@@ -120,6 +129,7 @@ def _run_se_fast(read1: str, outfile: str, timer: StageTimer) -> bool:
     lmax = int(ix.seq_len.max())
     W = words.shape[1]
     timer.log("Finished load hash at %.3f s\n")
+    ru.checkpoint("index_pack")
     const_len = int(ix.seq_len.min()) == lmax
     verdict = link_verdict()
     if verdict is None:
@@ -128,7 +138,8 @@ def _run_se_fast(read1: str, outfile: str, timer: StageTimer) -> bool:
            if verdict == "host"
            else _sort_device_async(words, ix.seq_len, sumq, bucket, const_len, W))
     n_groups = 0
-    from .pipeline import _fresh
+    first = True
+    from .emitters import _fresh
 
     with open(_fresh(with_suffix(outfile, "_uniq.fq")), "wb",
               buffering=0) as f1, \
@@ -138,6 +149,9 @@ def _run_se_fast(read1: str, outfile: str, timer: StageTimer) -> bool:
                                                     "pipe.emit1"])
         try:
             for rep, counts in gen:
+                if first:
+                    ru.checkpoint("sort_group")
+                    first = False
                 n_groups += len(rep)
                 if len(rep) == 0:
                     continue
@@ -146,6 +160,9 @@ def _run_se_fast(read1: str, outfile: str, timer: StageTimer) -> bool:
                 writer.submit(name, view, total)
         finally:
             writer.close()
+    ru.checkpoint("emit_write")
+    ru.dump(tool="gzfastq_uniq", reads=B, groups=n_groups,
+            placement=verdict)
     sys.stderr.write(
         f"unique reads number = {n_groups}({n_groups} / {B} = "
         f"{100.0 * n_groups / B:.3f}%)\n")
@@ -159,6 +176,10 @@ def run_se(read1: str, outfile: str, timer: StageTimer,
     if mesh_n <= 1 and not os.environ.get("NGSTPU_NO_FASTPATH") \
             and _run_se_fast(read1, outfile, timer):
         return
+    import jax.numpy as jnp
+
+    from ..ops.sortengine import sum_quality_host
+
     batch = read_fastq_file(read1)
     sumq = jnp.asarray(sum_quality_host(batch.qual))
     rep, counts, n_groups = dedup_device(batch.seq, batch.lens, sumq, mesh_n)
@@ -211,7 +232,7 @@ def _run_pe_fast(read1: str, read2: str, outfile: str,
     from ..io.fastindex import fused_pair_stats, index_fastq, uniq_text
     from ..utils.bufpool import get_buffer, get_matrix
     from ..utils.linkprobe import link_verdict, probe_link
-    from .pipeline import (CHUNK_RECORDS, _RingWriter, _sort_device_async,
+    from .emitters import (CHUNK_RECORDS, _RingWriter, _sort_device_async,
                            _sort_host_async)
 
     if not outfile or outfile.startswith("-"):
@@ -244,7 +265,7 @@ def _run_pe_fast(read1: str, read2: str, outfile: str,
            if verdict == "host"
            else _sort_device_async(words, key_lens, sumq, bucket, const_len, W))
     n_groups = 0
-    from .pipeline import _fresh
+    from .emitters import _fresh
 
     with open(_fresh(with_suffix(outfile, "_1_uniq.fq")), "wb",
               buffering=0) as f1, \
@@ -291,6 +312,10 @@ def run_pe(read1: str, read2: str, outfile: str, timer: StageTimer,
     lmax12 = _pad4(int(b1.seq.shape[1]) + int(b2.seq.shape[1]))
     key = concat_pairs(b1.seq[:n], b1.lens[:n], b2.seq[:n], b2.lens[:n], lmax12)
     key_lens = (b1.lens[:n].astype(np.int64) + b2.lens[:n].astype(np.int64)).astype(np.int32)
+    import jax.numpy as jnp
+
+    from ..ops.sortengine import sum_quality_host
+
     sumq = jnp.asarray(sum_quality_host(np.ascontiguousarray(b1.qual[:n]))
                        + sum_quality_host(np.ascontiguousarray(b2.qual[:n])))
     rep, counts, n_groups = dedup_device(key, key_lens, sumq, mesh_n)

@@ -360,3 +360,47 @@ def test_gz_multimember_parallel_inflate(tmp_path):
     assert _inflate_gz_members_parallel(lib, raw2, "t.trap") is None
     ix2 = index_fastq(str(pz2), pool="t.trap2")  # sequential fallback
     assert ix2 is not None and ix2.n == 401
+
+
+def test_host_radix_sort_adversarial():
+    """Radix upgrade stress (round-5): deep shared prefixes force the
+    per-word recursion through all W words; lens > 255 exercise the
+    clamped length bucket of ngs_sort_perm_host where comparison sort
+    must keep the length-primary collation."""
+    import ctypes
+
+    from ngstpu.io.native import get_lib
+    from ngstpu.ops.sortengine import sort_perm_host
+
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("no native lib")
+    rng = np.random.default_rng(31)
+    B, W = 60_000, 7
+    words = np.zeros((B, W), np.uint32)
+    # 4 shared prefixes over words 0..4; only words 5..6 discriminate
+    words[:, :5] = np.array([0xDEADBEEF, 1, 2, 3, 4], np.uint32)[None, :]
+    words[:, 0] += rng.integers(0, 4, B).astype(np.uint32)
+    words[:, 5] = rng.integers(0, 50, B)
+    words[:, 6] = rng.integers(0, 1 << 32, B, dtype=np.uint64).astype(np.uint32)
+    words = np.ascontiguousarray(words)
+    lens = rng.integers(200, 400, B).astype(np.int32)  # spans the 255 clamp
+
+    # dedup host sort (use_len=1) vs lexsort
+    perm = np.empty(B, np.int32)
+    is_head = np.empty(B, np.uint8)
+    lib.ngs_dedup_sort_host(words, lens.ctypes.data_as(ctypes.c_void_p), 1,
+                            B, W, perm, is_head, 0)
+    keys = [np.arange(B), lens] + [words[:, w] for w in range(W - 1, -1, -1)]
+    np.testing.assert_array_equal(perm, np.lexsort(tuple(keys)))
+
+    # length-first host sort: length primary incl. the >255 clamp bucket
+    host = sort_perm_host(words, lens, True)
+    keys_lf = [np.arange(B)] + [words[:, w] for w in range(W - 1, -1, -1)] \
+        + [lens]
+    np.testing.assert_array_equal(host, np.lexsort(tuple(keys_lf)))
+
+    # lex-first host sort (no length key at all)
+    host2 = sort_perm_host(words, lens, False)
+    keys_nf = [np.arange(B)] + [words[:, w] for w in range(W - 1, -1, -1)]
+    np.testing.assert_array_equal(host2, np.lexsort(tuple(keys_nf)))
