@@ -633,7 +633,10 @@ def _gen_events(inf, initial_carry: bytes, n_refs: int, flag_mask: int,
         # their 1-deep prefetch), while collect-everything callers keep
         # the default copy semantics.
         ns = sum(len(s) for s, _ in pieces)
-        if pooled_flush:
+        if pooled_flush and not os.environ.get("NGSTPU_DEBUG_POOLVIEWS"):
+            # NGSTPU_DEBUG_POOLVIEWS forces owned arrays so a consumer
+            # holding a flush past the 3-rotation window can be bisected
+            # against the zero-copy mode (advisor r4)
             name = f"bamev.flush{flush_flip[0]}"
             flush_flip[0] = (flush_flip[0] + 1) % 3
             pos = get_buffer(name + ".pos", 8 * ns, np.int32)
@@ -737,6 +740,13 @@ def _gen_events(inf, initial_carry: bytes, n_refs: int, flag_mask: int,
                     f"coordinate-sort the input, or raise "
                     f"NGSTPU_EVENT_PENDING_CAP to silence this\n")
             if rc == 3:
+                if consumed == off:
+                    # cap below a single record's op count: the walk
+                    # cannot advance — fail fast instead of spinning
+                    # (advisor r4: a too-small NGSTPU_EVENT_CAP hung here)
+                    raise ValueError(
+                        f"event capacity {cap} is below one record's "
+                        f"cigar op count; raise NGSTPU_EVENT_CAP")
                 off = consumed
                 continue
             break

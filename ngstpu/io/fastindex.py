@@ -172,10 +172,17 @@ def _inflate_gz_members_parallel(lib, raw: np.ndarray,
     np.cumsum(isizes[:-1], out=offs[1:])
     out = get_buffer(pool + ".gzdata", total)
     sizes = np.empty(len(starts), np.int64)
+    # general .gz user inputs verify CRC32 by DEFAULT (advisor r4 medium:
+    # the prior libdeflate-gzip/zlib paths always did, and a corrupted
+    # stream that still inflates to the right length must not pass
+    # silently). NGSTPU_GZ_CRC=0 opts out for trusted pipelines; this is
+    # distinct from NGSTPU_BGZF_CRC, which gates BAM/BGZF blocks whose
+    # framing was already host-scanned and whose payloads are further
+    # structure-validated downstream (io/bgzf.py).
+    verify = os.environ.get("NGSTPU_GZ_CRC", "1") != "0"
     rc = lib.ngs_bgzf_inflate_blocks(
         raw, starts, np.ascontiguousarray(lens), len(starts), out, offs,
-        np.ascontiguousarray(isizes), sizes,
-        1 if os.environ.get("NGSTPU_BGZF_CRC") else 0, 0)
+        np.ascontiguousarray(isizes), sizes, 1 if verify else 0, 0)
     if rc != 0 or not (sizes == isizes).all():
         return None  # speculative split was wrong: sequential fallback
     return out[:total]

@@ -811,43 +811,45 @@ int ngs_bgzf_inflate_blocks(const uint8_t* data, const int64_t* block_starts,
 
 static const uint8_t MRLE_TABLE_INIT[6] = {'#', '/', '7', '<', 'B', 'F'};
 
+// Encode one quality string with the reference's two-pass per-symbol RLE
+// (bit-parity with gzfastq_mrle.c mrlec2, cited, not copied): a census
+// pass scores, for each of the 6 alphabet symbols, whether run-coding it
+// shrinks the output; the emit pass then writes a bitmask of the coded
+// symbols followed by each maximal run either as sym + 255-saturated
+// continuation counts (coded symbols) or verbatim (uncoded). Both passes
+// here walk MAXIMAL RUNS — a run of length L contributes
+// (L-1) - floor((L-1)/255) continuation credits minus 1 head debit to
+// its symbol's score, and emits as sym, 255..., (L mod 255 payload) with
+// the final count byte holding remaining-1.
 static int mrle_encode_one(const uint8_t* q, int n, uint8_t* out,
                            const uint8_t* table) {
-    long long t[8] = {0};
-    long long run = 0;
-    int pc = -1;
-    for (int i = 0; i < n; ++i) {
-        int c = q[i];
-        if (c == pc) {
-            ++run;
-            t[table[c]] += (run % 255) != 0;
-        } else {
-            --t[table[c]];
-            run = 0;
-        }
-        pc = c;
+    long long score[8] = {0};
+    for (int i = 0; i < n;) {
+        int j = i + 1;
+        while (j < n && q[j] == q[i]) ++j;
+        long long cont = j - i - 1;  // continuation chars in this run
+        score[table[q[i]]] += cont - cont / 255 - 1;
+        i = j;
     }
-    uint8_t* op = out;
-    int maskv = 0;
-    for (int j = 0; j < 8; ++j) maskv += (t[j] > 0) << j;
-    *op++ = (uint8_t)maskv;
-    run = 0;
-    pc = -1;
-    for (int i = 0; i <= n; ++i) {
-        int c = (i < n) ? q[i] : -1;
-        if (c == pc) {
-            ++run;
-        } else if (run > 0 && t[table[(uint8_t)pc]] > 0) {
-            *op++ = (uint8_t)pc;
-            for (; run > 255; run -= 255) *op++ = 255;
-            *op++ = (uint8_t)(run - 1);
-            run = 1;
+    uint8_t* w = out;
+    int coded_mask = 0;
+    for (int s = 0; s < 8; ++s) coded_mask |= (score[s] > 0) << s;
+    *w++ = (uint8_t)coded_mask;
+    for (int i = 0; i < n;) {
+        int j = i + 1;
+        while (j < n && q[j] == q[i]) ++j;
+        uint8_t sym = q[i];
+        long long len = j - i;
+        if (score[table[sym]] > 0) {
+            *w++ = sym;
+            for (; len > 255; len -= 255) *w++ = 255;
+            *w++ = (uint8_t)(len - 1);
         } else {
-            for (++run; run > 1; --run) *op++ = (uint8_t)pc;
+            for (; len > 0; --len) *w++ = sym;
         }
-        pc = c;
+        i = j;
     }
-    return (int)(op - out);
+    return (int)(w - out);
 }
 
 // rows: padded [b, lmax] with per-row lens; out sized >= sum(2*len+2).

@@ -340,6 +340,14 @@ def pileup_emit_runs(pos: np.ndarray, delta: np.ndarray, name: bytes,
         text, cap, 0)
     if w < 0:  # cap bound above is a proof; defensive only
         raise ValueError("pileup emit buffer overflow")
+    import os
+
+    if os.environ.get("NGSTPU_DEBUG_POOLVIEWS"):
+        # debug mode: hand back an owned copy so a consumer that holds a
+        # view past the 3-slot rotation window reads CORRECT data while
+        # the default zero-copy mode is being bisected (advisor r4: the
+        # rotation contract was enforced only by comments)
+        return bytes(text[:w]), bins[:n_windows]
     return text[:w].data, bins[:n_windows]
 
 

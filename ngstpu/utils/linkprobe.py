@@ -81,7 +81,14 @@ def _cached_verdict() -> str | None:
         # a verdict is only meaningful for the backend it was measured
         # on: a CPU-forced test run must never poison a TPU run (or vice
         # versa)
-        if time.time() - float(d["ts"]) < _cache_ttl() \
+        ttl = _cache_ttl()
+        if d["v"] == "device":
+            # 'device' is the costly verdict to serve stale on this
+            # tunnel (a dead phase stalls real transfers for minutes,
+            # while a stale 'host' merely forgoes an upside), so it
+            # expires on a third of the window (advisor r4)
+            ttl = ttl / 3.0
+        if time.time() - float(d["ts"]) < ttl \
                 and d.get("backend") == _backend() \
                 and d["v"] in ("host", "device"):
             return d["v"]

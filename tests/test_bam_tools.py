@@ -391,3 +391,18 @@ def test_pileup_emit_fused_matches_unfused_fuzz():
         bins = depth_window_bins(s, e, d, window, n_windows, tlen)
         assert fused[0] == rows, f"trial {trial} rows differ"
         assert np.array_equal(fused[1], bins), f"trial {trial} bins differ"
+
+
+def test_event_mode_debug_poolviews_parity(tmp_path, monkeypatch,
+                                           bam_fixture):
+    """NGSTPU_DEBUG_POOLVIEWS switches the zero-copy pooled rotations
+    (event flush pairs, fused emit text) to owned copies; output must be
+    identical — the debug mode exists to bisect rotation-contract
+    violations (advisor r4)."""
+    monkeypatch.setenv("NGSTPU_PILEUP_MODE", "events")
+    monkeypatch.setenv("NGSTPU_DEBUG_POOLVIEWS", "1")
+    ref_dir, ours_dir = _run_both(tmp_path, "bam2depth",
+                                  ["-o", "out", "-w", "6000", "-W"],
+                                  bam_fixture)
+    for f in sorted(os.listdir(ref_dir)):
+        assert (ours_dir / f).read_bytes() == (ref_dir / f).read_bytes(), f

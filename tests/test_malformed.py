@@ -418,3 +418,45 @@ def test_truncated_gzip_garbage_isize_fast(tmp_path, capsys):
     assert rc == 1
     assert "invalid input" in capsys.readouterr().err
     assert dt < 30, f"truncated-gz handling took {dt:.1f}s"
+
+
+def test_gz_crc_corruption_detected(tmp_path):
+    """A multi-member .gz whose payload still inflates to the right
+    length but carries a corrupted CRC trailer must NOT pass silently
+    through the member-parallel fast path (advisor r4 medium: CRC
+    verification is ON by default for general .gz inputs; NGSTPU_GZ_CRC=0
+    opts out)."""
+    from ngstpu.io.fastindex import index_fastq
+    from ngstpu.testing.fixtures import random_fastq
+
+    import gzip as _gzip
+
+    data = random_fastq(2000, read_len=80, seed=11)
+    p = tmp_path / "m.fq.gz"
+    # three explicit members (the pigz/BGZF/ParallelGzipWriter layout the
+    # member-parallel fast path speculates on)
+    recs = data.split(b"\n")
+    cut1 = (len(recs) // 3) * 4 * 0 + 4 * 700
+    cut2 = 4 * 1400
+    parts = [b"\n".join(recs[:cut1]) + b"\n",
+             b"\n".join(recs[cut1:cut2]) + b"\n",
+             b"\n".join(recs[cut2:-1]) + b"\n"]
+    raw = bytearray(b"".join(_gzip.compress(x, 6, mtime=0) for x in parts))
+    # find the second member boundary; corrupt the CRC32 (trailer bytes
+    # [-8,-4) of the first member, i.e. right before the boundary)
+    idx = raw.find(b"\x1f\x8b\x08", 1)
+    assert idx > 0
+    raw[idx - 8] ^= 0xFF
+    p.write_bytes(bytes(raw))
+    # fast path must reject (None -> generic), never return wrong bytes
+    ix = index_fastq(str(p), pool=None)
+    assert ix is None
+    # the opt-out skips verification and accepts the stream (documented
+    # integrity trade for trusted pipelines) — only check it doesn't crash
+    import os
+    os.environ["NGSTPU_GZ_CRC"] = "0"
+    try:
+        ix2 = index_fastq(str(p), pool=None)
+        assert ix2 is not None and ix2.n == 2000
+    finally:
+        del os.environ["NGSTPU_GZ_CRC"]
