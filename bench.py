@@ -273,6 +273,181 @@ def bench_uniq_sort_10m(workdir: pathlib.Path) -> dict | None:
         return None
 
 
+def _time_cmds(cmds, cwd, env_add=None, timeout_s=1800) -> float | None:
+    """Total wall seconds to run `cmds` sequentially in `cwd`."""
+    env = {**os.environ, **(env_add or {})}
+    total = 0.0
+    for cmd in cmds:
+        t0 = time.monotonic()
+        r = subprocess.run([str(c) for c in cmd], capture_output=True,
+                           timeout=timeout_s, cwd=str(cwd), env=env)
+        total += time.monotonic() - t0
+        if r.returncode != 0:
+            sys.stderr.write(f"[bench] cmd failed: {cmd[0]}: "
+                             f"{r.stderr.decode(errors='replace')[-300:]}\n")
+            return None
+    return total
+
+
+def _gunzip_eq(a: pathlib.Path, b: pathlib.Path) -> bool:
+    import gzip
+    with gzip.open(a) as fa, gzip.open(b) as fb:
+        while True:
+            ca, cb = fa.read(1 << 22), fb.read(1 << 22)
+            if ca != cb:
+                return False
+            if not ca:
+                return True
+
+
+def _interleaved(name, c_cmds, o_cmds, c_dir, o_dir, rounds, parity_fn,
+                 n_reads) -> dict | None:
+    """Shared interleaved min-of-N harness for the config benches: each
+    round runs the C side then ours (fresh output dirs), checks parity
+    once, and deletes both sides' outputs between rounds so round 2+
+    compares on a warm guest page pool (see bench_uniq_sort_10m)."""
+    o_env = {"JAX_PLATFORMS": "", "NGSTPU_LINK": "host",
+             "PALLAS_AXON_POOL_IPS": "", "PYTHONPATH": str(REPO)}
+    draws = {"c": [], "ours": []}
+    parity = None
+    for rd in range(rounds):
+        for d in (c_dir, o_dir):
+            d.mkdir(parents=True, exist_ok=True)
+        ct = _time_cmds(c_cmds, c_dir)
+        ot = _time_cmds(o_cmds, o_dir, env_add=o_env)
+        if ct is None or ot is None:
+            return None
+        if parity is None:
+            parity = parity_fn(c_dir, o_dir)
+        for d in (c_dir, o_dir):
+            for f in d.iterdir():
+                f.unlink()
+        draws["c"].append(round(ct, 2))
+        draws["ours"].append(round(ot, 2))
+        sys.stderr.write(f"[bench] {name} round {rd}: C={ct:.1f}s "
+                         f"ours={ot:.1f}s\n")
+    c_best, o_best = min(draws["c"]), min(draws["ours"])
+    return {"metric": name, "unit": "reads/s", "reads": n_reads,
+            "value": round(n_reads / o_best, 1),
+            "vs_baseline": round(c_best / o_best, 3),
+            "ours_seconds": o_best, "c_seconds": c_best,
+            "rounds": rounds, "draws": draws, "parity": parity}
+
+
+def bench_trim_sample_pe(workdir: pathlib.Path) -> dict | None:
+    """BASELINE config 2: fastq_trim (both mates) + gzfastq_sample -s on
+    gzip PAIRED-END 1M reads. Interleaved min-of-N; parity = byte-equal
+    trim outputs + decompressed-content-equal sample outputs (gzip bytes
+    legitimately differ across zlib builds). NGSTPU_BENCH_PE_READS
+    scales (0 disables)."""
+    n = int(os.environ.get("NGSTPU_BENCH_PE_READS", 1_000_000))
+    if n <= 0:
+        return None
+    try:
+        d = REPO / ".cache" / "bench"
+        f1, f2 = d / f"pe2_{n}_1.fq.gz", d / f"pe2_{n}_2.fq.gz"
+        if not f1.exists() or not f2.exists():
+            sys.stderr.write(f"[bench] generating {n}-pair gz fixture...\n")
+            gen = (
+                f"import sys; sys.path.insert(0, {str(REPO)!r})\n"
+                "from ngstpu.testing.fixtures import random_fastq_fast\n"
+                "from ngstpu.io.stream import ParallelGzipWriter\n"
+                f"for path, seed in (({str(f1)!r}, 5), ({str(f2)!r}, 6)):\n"
+                f"    data = random_fastq_fast({n}, {READ_LEN}, seed=seed,"
+                "  dup_frac=0.1)\n"
+                "    w = ParallelGzipWriter(open(path, 'wb'))\n"
+                "    step = 32 << 20\n"
+                "    for lo in range(0, len(data), step):\n"
+                "        w.write(data[lo:lo + step])\n"
+                "    w.close()\n")
+            r = subprocess.run([sys.executable, "-c", gen], timeout=900)
+            if r.returncode != 0:
+                return None
+        from ngstpu.testing.oracles import build_oracle
+        exes = {t: build_oracle(t) for t in ("fastq_trim", "gzfastq_sample")}
+        if any(v is None for v in exes.values()):
+            return None
+        c_dir, o_dir = workdir / "c2c", workdir / "c2o"
+        c_cmds = [[exes["fastq_trim"], "-i", f1, "-s", "0", "-e",
+                   str(TRIM_END), "-o", "t1"],
+                  [exes["fastq_trim"], "-i", f2, "-s", "0", "-e",
+                   str(TRIM_END), "-o", "t2"],
+                  [exes["gzfastq_sample"], "-1", f1, "-2", f2, "-s", "0.25"]]
+        o_cmds = [[sys.executable, "-m", "ngstpu.tools.cli",
+                   ("fastq_trim" if c[0] == exes["fastq_trim"]
+                    else "gzfastq_sample")] + [str(x) for x in c[1:]]
+                  for c in c_cmds]
+
+        def parity(cd, od):
+            ok = True
+            for t in ("t1.trim.fastq", "t2.trim.fastq"):
+                ok &= (cd / t).read_bytes() == (od / t).read_bytes()
+            for g in sorted(p.name for p in cd.glob("*.gz")):
+                ok &= (od / g).exists() and _gunzip_eq(cd / g, od / g)
+            return ok
+
+        return _interleaved(
+            "trim_sample_pe_1m_reads_per_sec", c_cmds, o_cmds, c_dir,
+            o_dir, int(os.environ.get("NGSTPU_BENCH_CFG_ROUNDS", 2)),
+            parity, 2 * n)
+    except Exception as e:  # noqa: BLE001 - extra metric only
+        sys.stderr.write(f"[bench] trim+sample PE skipped: {e}\n")
+        return None
+
+
+def bench_pick_pair_twobit(workdir: pathlib.Path) -> dict | None:
+    """BASELINE config 4: pick_pair (merge-join of name-sorted PE files)
+    + fastq2twobit (2-bit container pack). Interleaved min-of-N; parity =
+    decompressed-content-equal PE/SE outputs + byte-equal 2bit container.
+    NGSTPU_BENCH_PP_READS scales (0 disables)."""
+    n = int(os.environ.get("NGSTPU_BENCH_PP_READS", 1_000_000))
+    if n <= 0:
+        return None
+    try:
+        d = REPO / ".cache" / "bench"
+        f1, f2 = d / f"pp_{n}_1.fq", d / f"pp_{n}_2.fq"
+        if not f1.exists() or not f2.exists():
+            sys.stderr.write(f"[bench] generating {n}-read sorted PE "
+                             "fixture...\n")
+            gen = (
+                f"import sys; sys.path.insert(0, {str(REPO)!r})\n"
+                "from ngstpu.testing.fixtures import "
+                "random_fastq_pair_sorted\n"
+                f"a, b = random_fastq_pair_sorted({n}, {READ_LEN}, seed=9)\n"
+                f"open({str(f1)!r}, 'wb').write(a)\n"
+                f"open({str(f2)!r}, 'wb').write(b)\n")
+            r = subprocess.run([sys.executable, "-c", gen], timeout=900)
+            if r.returncode != 0:
+                return None
+        from ngstpu.testing.oracles import build_oracle
+        exes = {t: build_oracle(t) for t in ("pick_pair", "fastq2twobit")}
+        if any(v is None for v in exes.values()):
+            return None
+        c_dir, o_dir = workdir / "c4c", workdir / "c4o"
+        c_cmds = [[exes["pick_pair"], "-1", f1, "-2", f2, "-o", "pp"],
+                  [exes["fastq2twobit"], "-i", f1, "-o", "tb"]]
+        o_cmds = [[sys.executable, "-m", "ngstpu.tools.cli", "pick_pair",
+                   "-1", f1, "-2", f2, "-o", "pp"],
+                  [sys.executable, "-m", "ngstpu.tools.cli", "fastq2twobit",
+                   "-i", f1, "-o", "tb"]]
+
+        def parity(cd, od):
+            ok = (cd / "tb_sort_by_seq.fq").read_bytes() == \
+                (od / "tb_sort_by_seq.fq").read_bytes()
+            for sfx in ("_1_PE.fq.gz", "_2_PE.fq.gz", "_1_SE.fq.gz",
+                        "_2_SE.fq.gz"):
+                ok &= _gunzip_eq(cd / ("pp" + sfx), od / ("pp" + sfx))
+            return ok
+
+        return _interleaved(
+            "pick_pair_twobit_reads_per_sec", c_cmds, o_cmds, c_dir,
+            o_dir, int(os.environ.get("NGSTPU_BENCH_CFG_ROUNDS", 2)),
+            parity, 2 * n)
+    except Exception as e:  # noqa: BLE001 - extra metric only
+        sys.stderr.write(f"[bench] pick_pair+twobit skipped: {e}\n")
+        return None
+
+
 def bench_pileup() -> dict:
     """BASELINE metric #2 (bam2depth bp/s), folded into the same JSON."""
     env = dict(os.environ)
@@ -353,9 +528,11 @@ def main() -> None:
     if gz is not None:
         extras.append(gz)
     extras.append(bench_pileup())
-    big = bench_uniq_sort_10m(workdir)
-    if big is not None:
-        extras.append(big)
+    for fn in (bench_trim_sample_pe, bench_pick_pair_twobit,
+               bench_uniq_sort_10m):
+        m = fn(workdir)
+        if m is not None:
+            extras.append(m)
     _emit({
         "metric": "count_trim_uniq_reads_per_sec",
         "value": round(rps, 1),

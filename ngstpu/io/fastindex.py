@@ -397,10 +397,11 @@ def trim_text_size(ix: IndexedFastq, start: int, end: int) -> int:
 
 
 def uniq_text(ix: IndexedFastq, rep: np.ndarray, counts: np.ndarray,
-              bufname: str) -> tuple[np.ndarray, int]:
-    """Assemble dedup-output FASTQ text (name\\tcount header records) for
-    representative rows `rep` into the named pooled buffer. Returns
-    (buffer view, total bytes)."""
+              bufname: str, sep: int = 0x09) -> tuple[np.ndarray, int]:
+    """Assemble numeric-suffixed FASTQ text for rows `rep` into the named
+    pooled buffer: name{sep}{counts[k]} records — '\\t' (default) for the
+    dedup "name\\tcount" headers, '_' for gzfastq_sample's ordinal
+    renames. Returns (buffer view, total bytes)."""
     from ..utils.bufpool import get_buffer
 
     lib = get_lib()
@@ -419,7 +420,7 @@ def uniq_text(ix: IndexedFastq, rep: np.ndarray, counts: np.ndarray,
         ix.data, ix.name_off, ix.name_len, ix.seq_off, ix.seq_len,
         ix.qual_off, ix.qual_len, rep,
         counts.ctypes.data_as(ctypes.c_void_p), k, out_starts,
-        out.ctypes.data_as(ctypes.c_void_p), 0)
+        out.ctypes.data_as(ctypes.c_void_p), sep, 0)
     return out, total
 
 
@@ -446,5 +447,5 @@ def take_text(ix: IndexedFastq, order: np.ndarray, bufname: str
     lib.ngs_format_uniq_ofs(
         ix.data, ix.name_off, ix.name_len, ix.seq_off, ix.seq_len,
         ix.qual_off, ix.qual_len, order, null, k, out_starts,
-        out.ctypes.data_as(ctypes.c_void_p), 0)
+        out.ctypes.data_as(ctypes.c_void_p), 0x09, 0)
     return out, total

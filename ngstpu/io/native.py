@@ -131,7 +131,8 @@ def get_lib() -> ctypes.CDLL | None:
             _i64, _i32, _i32, _p_i64, ctypes.c_void_p, _int]
         lib.ngs_format_uniq_ofs.argtypes = [
             _p_u8, _p_i64, _p_i32, _p_i64, _p_i32, _p_i64, _p_i32,
-            _p_i64, ctypes.c_void_p, _i64, _p_i64, ctypes.c_void_p, _int]
+            _p_i64, ctypes.c_void_p, _i64, _p_i64, ctypes.c_void_p,
+            _int, _int]
         lib.ngs_dedup_sort_host.argtypes = [
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
             ctypes.c_void_p, _int, _i64, _i64, _p_i32, _p_u8, _int]
@@ -144,6 +145,10 @@ def get_lib() -> ctypes.CDLL | None:
         lib.ngs_uniq_sizes.restype = _i64
         lib.ngs_uniq_sizes.argtypes = [_p_i32, _p_i32, _p_i64,
                                        ctypes.c_void_p, _i64, _p_i64]
+        lib.ngs_pick_pair_join.argtypes = [
+            _p_u8, _p_i64, _p_i32, _i64,
+            _p_u8, _p_i64, _p_i32, _i64,
+            _p_i32, _p_i32, _p_i32, _p_i32, _p_i64]
         lib.ngs_fastq_fused_pair.restype = _int
         lib.ngs_fastq_fused_pair.argtypes = [
             _p_u8, _p_i64, _p_i32, _p_i64, _p_i32,

@@ -41,6 +41,12 @@ struct LibDeflate {
     int (*deflate_decompress_ex)(void*, const void*, size_t, void*, size_t,
                                  size_t*, size_t*) = nullptr;
     uint32_t (*crc32)(uint32_t, const void*, size_t) = nullptr;
+    // compression side (~2-4x faster than zlib deflate at equal levels;
+    // used by the parallel multi-member gzip writer)
+    void* (*alloc_compressor)(int) = nullptr;
+    void (*free_compressor)(void*) = nullptr;
+    size_t (*gzip_compress)(void*, const void*, size_t, void*,
+                            size_t) = nullptr;
     bool ok = false;
 };
 
@@ -65,6 +71,14 @@ const LibDeflate& libdeflate() {
         l.crc32 = reinterpret_cast<uint32_t (*)(uint32_t, const void*,
                                                 size_t)>(
             dlsym(h, "libdeflate_crc32"));
+        l.alloc_compressor = reinterpret_cast<void* (*)(int)>(
+            dlsym(h, "libdeflate_alloc_compressor"));
+        l.free_compressor = reinterpret_cast<void (*)(void*)>(
+            dlsym(h, "libdeflate_free_compressor"));
+        l.gzip_compress =
+            reinterpret_cast<size_t (*)(void*, const void*, size_t, void*,
+                                        size_t)>(
+                dlsym(h, "libdeflate_gzip_compress"));
         l.ok = l.alloc_decompressor && l.free_decompressor &&
                l.gzip_decompress_ex;
         return l;
@@ -599,14 +613,28 @@ int ngs_gzip_compress_blocks(const uint8_t* data, const int64_t* block_starts,
                              int level, int nthreads) {
     if (nthreads <= 0) nthreads = hw_threads();
     std::atomic<int> err{0};
+    const LibDeflate& ld = libdeflate();
+    const bool fast = ld.alloc_compressor && ld.free_compressor &&
+                      ld.gzip_compress;
     parallel_ranges(n_blocks, nthreads, [&](int64_t lo, int64_t hi, int) {
+        void* comp = fast ? ld.alloc_compressor(level) : nullptr;
         for (int64_t i = lo; i < hi; ++i) {
+            if (comp) {
+                size_t got = ld.gzip_compress(
+                    comp, data + block_starts[i],
+                    static_cast<size_t>(block_lens[i]), out + out_offsets[i],
+                    static_cast<size_t>(out_caps[i]));
+                if (got > 0) {  // 0 == output did not fit: zlib fallback
+                    out_sizes[i] = static_cast<int64_t>(got);
+                    continue;
+                }
+            }
             z_stream zs;
             memset(&zs, 0, sizeof(zs));
             if (deflateInit2(&zs, level, Z_DEFLATED, 16 + 15, 8,
                              Z_DEFAULT_STRATEGY) != Z_OK) {
                 err.store(1);
-                return;
+                break;
             }
             zs.next_in = const_cast<uint8_t*>(data + block_starts[i]);
             zs.avail_in = static_cast<uInt>(block_lens[i]);
@@ -617,6 +645,7 @@ int ngs_gzip_compress_blocks(const uint8_t* data, const int64_t* block_starts,
             out_sizes[i] = static_cast<int64_t>(zs.total_out);
             deflateEnd(&zs);
         }
+        if (comp) ld.free_compressor(comp);
     });
     return err.load();
 }
@@ -1312,13 +1341,16 @@ void ngs_trim_format_ofs(const uint8_t* data,
 // name[r]\t{count[k]}\n seq[r]\n +\n qual[r] (seq_len bytes, NUL-filled past
 // qual_len)\n — the gzfastq_uniq output record (reference
 // gzfastq_uniq.c:325-357) as an offset gather.
+// sep: the byte between name and the numeric suffix when counts != NULL
+// ('\t' for the dedup "name\tcount" records of gzfastq_uniq.c:325-357,
+// '_' for gzfastq_sample's "name_ordinal" renames, gzfastq_sample.c:30-37).
 void ngs_format_uniq_ofs(const uint8_t* data,
                          const int64_t* name_off, const int32_t* name_len,
                          const int64_t* seq_off, const int32_t* seq_len,
                          const int64_t* qual_off, const int32_t* qual_len,
                          const int64_t* rep, const int64_t* counts,
                          int64_t k_total, const int64_t* out_starts,
-                         uint8_t* out, int nthreads) {
+                         uint8_t* out, int sep, int nthreads) {
     if (nthreads <= 0) nthreads = hw_threads();
     parallel_ranges(k_total, nthreads, [&](int64_t lo, int64_t hi, int) {
         for (int64_t k = lo; k < hi; ++k) {
@@ -1337,7 +1369,7 @@ void ngs_format_uniq_ofs(const uint8_t* data,
             memcpy(o, data + name_off[r], nl);
             o += nl;
             if (counts) {  // NULL = plain take-in-order records
-                *o++ = '\t';
+                *o++ = (uint8_t)sep;
                 o = put_i64(o, counts[k]);
             }
             *o++ = '\n';
@@ -1478,6 +1510,71 @@ int64_t ngs_dedup_groups_host(const uint32_t* words, const int32_t* lens,
         total += g_per[k];
     }
     return total;
+}
+
+// pick_pair merge-join over two offset-indexed name-sorted files
+// (reference pick_pair.c:104-118 loop structure, ported index-based: one
+// record from EACH side per outer iteration, each side advanced past
+// smaller-keyed records into its SE list, then whatever two records
+// remain are paired). Keys are the name line to its first space,
+// compared byte-lex with shorter-key-first ties (the padded-S-bytes
+// order of the generic python path). A side that runs out mid-iteration
+// keeps the surviving side flowing to PE (the documented guard replacing
+// the reference's NULL dereference). pe1/se1 sized n1, pe2/se2 sized n2;
+// counts land in out_counts[4] = {n_pe1, n_se1, n_pe2, n_se2}.
+void ngs_pick_pair_join(const uint8_t* d1, const int64_t* off1,
+                        const int32_t* len1, int64_t n1,
+                        const uint8_t* d2, const int64_t* off2,
+                        const int32_t* len2, int64_t n2,
+                        int32_t* pe1, int32_t* se1,
+                        int32_t* pe2, int32_t* se2, int64_t* out_counts) {
+    std::vector<int32_t> k1(n1), k2(n2);  // key length = to first space
+    parallel_ranges(n1, 0, [&](int64_t lo, int64_t hi, int) {
+        for (int64_t r = lo; r < hi; ++r) {
+            const uint8_t* p = d1 + off1[r];
+            const void* sp = memchr(p, ' ', len1[r]);
+            k1[r] = sp ? (int32_t)((const uint8_t*)sp - p) : len1[r];
+        }
+    });
+    parallel_ranges(n2, 0, [&](int64_t lo, int64_t hi, int) {
+        for (int64_t r = lo; r < hi; ++r) {
+            const uint8_t* p = d2 + off2[r];
+            const void* sp = memchr(p, ' ', len2[r]);
+            k2[r] = sp ? (int32_t)((const uint8_t*)sp - p) : len2[r];
+        }
+    });
+    auto cmp = [&](int64_t a, int64_t b) -> int {
+        int32_t la = k1[a], lb = k2[b];
+        int32_t m = la < lb ? la : lb;
+        int c = memcmp(d1 + off1[a], d2 + off2[b], m);
+        if (c) return c;
+        return la < lb ? -1 : (la > lb ? 1 : 0);
+    };
+    int64_t npe1 = 0, nse1 = 0, npe2 = 0, nse2 = 0;
+    int64_t i = 0, j = 0;
+    for (;;) {
+        int64_t l1 = i < n1 ? i : -1;
+        int64_t l2 = j < n2 ? j : -1;
+        ++i;
+        ++j;
+        while (l1 >= 0 && l2 >= 0 && cmp(l1, l2) < 0) {
+            se1[nse1++] = (int32_t)l1;
+            l1 = i < n1 ? i : -1;
+            ++i;
+        }
+        while (l2 >= 0 && l1 >= 0 && cmp(l1, l2) > 0) {
+            se2[nse2++] = (int32_t)l2;
+            l2 = j < n2 ? j : -1;
+            ++j;
+        }
+        if (l1 < 0 && l2 < 0) break;
+        if (l1 >= 0) pe1[npe1++] = (int32_t)l1;
+        if (l2 >= 0) pe2[npe2++] = (int32_t)l2;
+    }
+    out_counts[0] = npe1;
+    out_counts[1] = nse1;
+    out_counts[2] = npe2;
+    out_counts[3] = nse2;
 }
 
 // Record sizes + exclusive-prefix output offsets for the dedup emit

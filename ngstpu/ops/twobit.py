@@ -19,12 +19,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Host-side lookup tables (match initNtVal exactly).
-NT_VAL = np.zeros(256, dtype=np.uint8)  # default 0 == T
-for ch, v in ((b"Tt", 0), (b"Uu", 0), (b"Cc", 1), (b"Aa", 2), (b"Gg", 3)):
-    for c in ch:
-        NT_VAL[c] = v
-VAL_TO_NT = np.frombuffer(b"TCAGN", dtype=np.uint8).copy()
+# Host-side tables + numpy pack/unpack live in twobit_host (jax-free for
+# the CLI startup path); re-exported here for compatibility.
+from .twobit_host import (NT_VAL, VAL_TO_NT, pack2bit_host,  # noqa: F401
+                          pack2bit_np, unpack2bit_host, unpack2bit_np)
 
 
 def base_codes(seq: jax.Array) -> jax.Array:
@@ -82,20 +80,4 @@ def pack2bit_words(seq: jax.Array, words: int) -> jax.Array:
     return jnp.sum(codes << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
 
 
-def pack2bit_host(seq_bytes: bytes) -> bytes:
-    """Reference-exact host packer (golden oracle for tests)."""
-    arr = np.frombuffer(seq_bytes, dtype=np.uint8)
-    codes = NT_VAL[arr]
-    pad = (-len(codes)) % 4
-    if pad:
-        codes = np.concatenate([codes, np.zeros(pad, dtype=np.uint8)])
-    c = codes.reshape(-1, 4)
-    return ((c[:, 0] << 6) | (c[:, 1] << 4) | (c[:, 2] << 2) | c[:, 3]).astype(
-        np.uint8).tobytes()
 
-
-def unpack2bit_host(packed: bytes, n_bases: int) -> bytes:
-    arr = np.frombuffer(packed, dtype=np.uint8)
-    vals = np.stack([(arr >> 6) & 3, (arr >> 4) & 3, (arr >> 2) & 3, arr & 3],
-                    axis=1).reshape(-1)
-    return VAL_TO_NT[vals[:n_bases]].tobytes()

@@ -104,3 +104,41 @@ def write_fixture(tmp_path, name: str, data: bytes) -> str:
     p = tmp_path / name
     p.write_bytes(data)
     return str(p)
+
+
+def random_fastq_pair_sorted(n_reads: int, read_len: int = 100,
+                             seed: int = 0, drop_frac: float = 0.1
+                             ) -> tuple[bytes, bytes]:
+    """Name-sorted PE fixture for pick_pair-shaped workloads (BASELINE
+    config 4): zero-padded ordinal names (lexicographic == numeric order),
+    each mate file missing a disjoint random `drop_frac` subset so the
+    merge-join produces both PE and SE outputs."""
+    rng = np.random.default_rng(seed)
+    u = rng.random(n_reads)
+    drop1 = u < drop_frac
+    drop2 = (u >= drop_frac) & (u < 2 * drop_frac)
+    # shared undropped tail: the reference's merge loop (pick_pair.c:
+    # 104-118) dereferences NULL if one file exhausts while the other
+    # still holds records at the outer read; a common matched tail makes
+    # both sides reach EOF in the same iteration (misalignments from
+    # interior mismatched pairings are absorbed as SE records), keeping
+    # the C oracle alive on this fixture.
+    tail = max(64, n_reads // 1000)
+    drop1[-tail:] = False
+    drop2[-tail:] = False
+
+    def one(keep: np.ndarray, s: int) -> bytes:
+        idx = np.flatnonzero(keep)
+        r = np.random.default_rng(s)
+        seqs = BASES[r.integers(0, 4, (len(idx), read_len))]
+        quals = r.integers(33, 74, (len(idx), read_len), dtype=np.uint8)
+        parts = []
+        for row, i in enumerate(idx):
+            parts.append(b"@p%08d m%d\n" % (i, s))
+            parts.append(seqs[row].tobytes())
+            parts.append(b"\n+\n")
+            parts.append(quals[row].tobytes())
+            parts.append(b"\n")
+        return b"".join(parts)
+
+    return one(~drop1, seed + 10), one(~drop2, seed + 11)

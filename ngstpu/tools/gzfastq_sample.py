@@ -57,8 +57,59 @@ def _out_writer(infile: str, tag: str):
     return ParallelGzipWriter(open(name, "wb")), name
 
 
+def _fast_sample(read1: str, read2: str | None, fasta: bool,
+                 select_fn, tag_fn) -> tuple[int, int] | None:
+    """Offset-indexed sampling (round-5): mmap/inflate + index both files
+    once, pick with `select_fn(ix1) -> (keep_idx, ordinals, picked_total)`,
+    and emit "name_ordinal" records straight from the raw bytes
+    (uniq_text sep='_') through the parallel gzip writer. Replaces the
+    reference's stream loops (gzfastq_sample.c:252-266 two-pass -n mode;
+    :280-313 one-pass -s mode) AND the -n mode's full counting pre-pass —
+    the index already knows n. Returns None when inapplicable."""
+    import os as _os
+
+    from ..io.fastindex import index_fastq, uniq_text
+
+    if fasta or _os.environ.get("NGSTPU_NO_FASTPATH"):
+        return None
+    ix1 = index_fastq(read1, pool="smp.ix1")
+    if ix1 is None or ix1.n == 0:
+        return None
+    ix2 = None
+    if read2 is not None:
+        ix2 = index_fastq(read2, pool="smp.ix2")
+        if ix2 is None or ix2.n != ix1.n:
+            return None
+    picked_sel = select_fn(ix1)
+    if picked_sel is None:
+        return None
+    keep, ordinals = picked_sel
+    CH = 1 << 19
+    for ix, path in ((ix1, read1), (ix2, read2)):
+        if ix is None:
+            continue
+        out, _name = _out_writer(path, tag_fn())
+        for lo in range(0, len(keep), CH):
+            view, total = uniq_text(ix, keep[lo:lo + CH],
+                                    ordinals[lo:lo + CH], "smp.text",
+                                    sep=0x5F)
+            out.write(view[:total].data)
+        out.close()
+    return ix1.n, len(keep)
+
+
 def proportion_mode(read1: str, read2: str | None, frac: float, seed: int,
                     fasta: bool) -> tuple[int, int]:
+    def select(ix):
+        h = x31_hash_batch(ix.data, ix.name_off, ix.name_len)
+        frac_val = ((h + np.uint32(seed)) & np.uint32(0xFFFFFF)
+                    ).astype(np.float64) / 0x1000000
+        keep = np.flatnonzero(frac_val < frac).astype(np.int64)
+        return keep, keep + 1
+
+    got = _fast_sample(read1, read2, fasta, select, lambda: "%f" % frac)
+    if got is not None:
+        return got
     out1, _ = _out_writer(read1, "%f" % frac)
     out2 = None
     r2_iter = None
@@ -88,6 +139,20 @@ def proportion_mode(read1: str, read2: str | None, frac: float, seed: int,
 
 def number_mode(read1: str, read2: str | None, pick: int,
                 fasta: bool, timer: StageTimer) -> tuple[int, int]:
+    def select(ix):
+        if pick > ix.n:
+            sys.stderr.write(f"pick_count > read_count ({pick} > {ix.n})\n")
+            raise SystemExit(0)
+        sys.stderr.write(f"total_reads_num: {ix.n}\n")
+        timer.log("Finished count_read at %.3f s\n")
+        sel = sample_indices(ix.n, pick)
+        timer.log("Start_read at %.3f s\n")
+        return sel.astype(np.int64), sel + 1
+
+    got = _fast_sample(read1, read2, fasta, select, lambda: "%d" % pick)
+    if got is not None:
+        timer.log("End_read at %.3f s\n")
+        return got
     n = count_reads(read1)
     sys.stderr.write(f"total_reads_num: {n}\n")
     timer.log("Finished count_read at %.3f s\n")

@@ -55,6 +55,50 @@ def _emit(path: str, batch, idx: np.ndarray) -> None:
     out.close()
 
 
+def _run_fast(read1: str, read2: str, outfile: str,
+              timer: StageTimer) -> bool:
+    """Offset-indexed merge-join (round-5): both files mmap'd + indexed,
+    the reference's quirky pairing loop runs as ONE native walk over the
+    name offsets (ngs_pick_pair_join), and each output is assembled
+    straight from the raw bytes (take_text) into the parallel libdeflate
+    gzip writer. Returns False when the fast path does not apply."""
+    from ..io.fastindex import index_fastq, take_text
+    from ..io.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return False
+    ix1 = index_fastq(read1, pool="pp.ix1")
+    if ix1 is None:
+        return False
+    ix2 = index_fastq(read2, pool="pp.ix2")
+    if ix2 is None:
+        return False
+    n1, n2 = ix1.n, ix2.n
+    pe1 = np.empty(n1, np.int32)
+    se1 = np.empty(n1, np.int32)
+    pe2 = np.empty(n2, np.int32)
+    se2 = np.empty(n2, np.int32)
+    counts = np.zeros(4, np.int64)
+    lib.ngs_pick_pair_join(
+        ix1.data, ix1.name_off, ix1.name_len, n1,
+        ix2.data, ix2.name_off, ix2.name_len, n2,
+        pe1, se1, pe2, se2, counts)
+    for sfx, ix, idx, k in (("_1_PE.fq.gz", ix1, pe1, counts[0]),
+                            ("_1_SE.fq.gz", ix1, se1, counts[1]),
+                            ("_2_PE.fq.gz", ix2, pe2, counts[2]),
+                            ("_2_SE.fq.gz", ix2, se2, counts[3])):
+        out = ParallelGzipWriter(open(outfile + sfx, "wb"))
+        order = idx[:k].astype(np.int64)
+        for lo in range(0, len(order), OUT_CHUNK):
+            view, total = take_text(ix, order[lo:lo + OUT_CHUNK], "pp.text")
+            # memoryview: the writer buffers by copy; a raw ndarray would
+            # hit numpy's broadcasting __radd__ instead of bytearray +=
+            out.write(view[:total].data)
+        out.close()
+    return True
+
+
 def main(argv: list[str]) -> int:
     timer = StageTimer()
     read1 = read2 = None
@@ -78,6 +122,13 @@ def main(argv: list[str]) -> int:
         _usage()
         return 1
 
+    import os
+
+    if not os.environ.get("NGSTPU_NO_FASTPATH") \
+            and _run_fast(read1, read2, outfile, timer):
+        timer.log("Finished load file at %.3f s\n")
+        timer.log("Finished  at %.3f s\n")
+        return 0
     b1 = read_fastq_file(read1)
     b2 = read_fastq_file(read2)
     k1 = _match_keys(b1).tolist()

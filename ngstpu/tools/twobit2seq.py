@@ -13,9 +13,7 @@ import getopt
 import sys
 
 import numpy as np
-import jax.numpy as jnp
 
-from ..ops.twobit import unpack2bit
 from ..utils.timing import StageTimer
 
 
@@ -48,7 +46,18 @@ def main(argv: list[str]) -> int:
         payload = np.frombuffer(data, dtype=np.uint8, offset=2)
         n_rec = len(payload) // packed_len if packed_len else 0
         rows = payload[: n_rec * packed_len].reshape(n_rec, packed_len)
-        bases = np.asarray(unpack2bit(jnp.asarray(rows)))[:, :read_len]
+        from ..utils.linkprobe import link_verdict
+
+        if link_verdict() == "device" and rows.nbytes >= (8 << 20):
+            import jax.numpy as jnp
+
+            from ..ops.twobit import unpack2bit
+
+            bases = np.asarray(unpack2bit(jnp.asarray(rows)))[:, :read_len]
+        else:
+            from ..ops.twobit_host import unpack2bit_np
+
+            bases = unpack2bit_np(rows)[:, :read_len]
         block = np.concatenate(
             [bases, np.full((n_rec, 1), 0x0A, np.uint8)], axis=1)
         out.write(block.tobytes())
