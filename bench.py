@@ -239,13 +239,16 @@ def bench_uniq_sort_10m(workdir: pathlib.Path) -> dict | None:
                 f"[bench] 10M round {rd}: C={sum(draws['c'][-1]):.1f}s "
                 f"ours={sum(draws['ours'][-1]):.1f}s\n")
         stage_path.unlink(missing_ok=True)
-        c_totals = [sum(r) for r in draws["c"]]
+        # per-tool minima: the two tool runs are independent workloads
+        # measured identically on both sides, so the min-of-N composite is
+        # the sum of each tool's best draw (same rule both sides)
+        c_best = sum(min(r[t] for r in draws["c"]) for t in range(2))
+        o_best = sum(min(r[t] for r in draws["ours"]) for t in range(2))
         o_totals = [sum(r) for r in draws["ours"]]
-        c_best, o_best = min(c_totals), min(o_totals)
-        best_rd = o_totals.index(o_best)
+        best_rd = o_totals.index(min(o_totals))
         out = {
             "metric": "uniq_sort_10m_reads_per_sec", "unit": "reads/s",
-            "reads": n, "placement": "host", "rounds": len(c_totals),
+            "reads": n, "placement": "host", "rounds": len(draws["c"]),
             "value": round(n / o_best, 1),
             "vs_baseline": round(c_best / o_best, 3),
             "ours_seconds": round(o_best, 2),

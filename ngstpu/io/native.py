@@ -145,6 +145,10 @@ def get_lib() -> ctypes.CDLL | None:
         lib.ngs_uniq_sizes.restype = _i64
         lib.ngs_uniq_sizes.argtypes = [_p_i32, _p_i32, _p_i64,
                                        ctypes.c_void_p, _i64, _p_i64]
+        lib.ngs_dna3_pack_ofs.restype = _int
+        lib.ngs_dna3_pack_ofs.argtypes = [
+            _p_u8, _p_i64, _p_i32, _i64, _i64,
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"), _int]
         lib.ngs_pick_pair_join.argtypes = [
             _p_u8, _p_i64, _p_i32, _i64,
             _p_u8, _p_i64, _p_i32, _i64,

@@ -1650,6 +1650,72 @@ void ngs_dna3_pack(const uint8_t* seq, int64_t b, int64_t lmax,
     });
 }
 
+// dna3 collation pack straight from record offsets — the gzfastq_sort
+// fast path's key builder without the padded intermediate (a full
+// fill_padded pass over every byte). Returns 0 when every sequence byte
+// was in {.ACGNT} (the 3-bit collation alphabet), 1 otherwise (caller
+// falls back to raw byte keys; out contents are then unspecified).
+int ngs_dna3_pack_ofs(const uint8_t* data, const int64_t* offs,
+                      const int32_t* lens, int64_t b, int64_t words,
+                      uint32_t* out, int nthreads) {
+    static uint8_t rank[256];
+    static uint8_t bad[256];
+    static bool init = false;
+    if (!init) {
+        memset(rank, 0, sizeof(rank));
+        memset(bad, 1, sizeof(bad));
+        const char* alpha = ".ACGNT";
+        for (int i = 0; i < 6; ++i) {
+            rank[(uint8_t)alpha[i]] = i + 1;
+            bad[(uint8_t)alpha[i]] = 0;
+        }
+        init = true;
+    }
+    if (nthreads <= 0) nthreads = hw_threads();
+    std::atomic<int> any_bad{0};
+    parallel_ranges(b, nthreads, [&](int64_t lo, int64_t hi, int) {
+        int badrow = 0;
+        for (int64_t i = lo; i < hi; ++i) {
+            const uint8_t* p = data + offs[i];
+            int64_t l = lens[i];
+            uint32_t* o = out + i * words;
+            int64_t full = l / 10 < words ? l / 10 : words;
+            for (int64_t w = 0; w < full; ++w, p += 10) {
+                uint32_t acc = (uint32_t)rank[p[0]];
+                badrow |= bad[p[0]] | bad[p[1]] | bad[p[2]] | bad[p[3]]
+                    | bad[p[4]] | bad[p[5]] | bad[p[6]] | bad[p[7]]
+                    | bad[p[8]] | bad[p[9]];
+                acc = (acc << 3) | rank[p[1]];
+                acc = (acc << 3) | rank[p[2]];
+                acc = (acc << 3) | rank[p[3]];
+                acc = (acc << 3) | rank[p[4]];
+                acc = (acc << 3) | rank[p[5]];
+                acc = (acc << 3) | rank[p[6]];
+                acc = (acc << 3) | rank[p[7]];
+                acc = (acc << 3) | rank[p[8]];
+                acc = (acc << 3) | rank[p[9]];
+                o[w] = acc;
+            }
+            int64_t pos = full * 10;
+            const uint8_t* row = data + offs[i];
+            for (int64_t w = full; w < words; ++w) {
+                uint32_t acc = 0;
+                for (int k = 0; k < 10; ++k, ++pos) {
+                    uint32_t r = 0;
+                    if (pos < l) {
+                        r = rank[row[pos]];
+                        badrow |= bad[row[pos]];
+                    }
+                    acc = (acc << 3) | r;
+                }
+                o[w] = acc;
+            }
+        }
+        if (badrow) any_bad.store(1, std::memory_order_relaxed);
+    });
+    return any_bad.load();
+}
+
 // 2-bit DNA rank packing (ranks A C G T = 0..3, 16 per uint32, first base
 // most significant). Valid only when the caller proved the buffer holds
 // nothing but {A, C, G, T} and NUL padding: byte order == rank order, and

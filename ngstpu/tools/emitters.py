@@ -20,6 +20,88 @@ import numpy as np
 N_PARTS = 4
 CHUNK_RECORDS = 1 << 19
 
+_SFR_WAIT_BEFORE, _SFR_WRITE, _SFR_WAIT_AFTER = 1, 2, 4
+
+
+def _libc_sync_file_range():
+    import ctypes
+
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        fn = libc.sync_file_range
+        fn.argtypes = [ctypes.c_int, ctypes.c_long, ctypes.c_long,
+                       ctypes.c_uint]
+        return fn
+    except (OSError, AttributeError):
+        return None
+
+
+class _PageRecycler:
+    """Windowed writeback + page-drop BEHIND the write cursor.
+
+    This VM's dominant output cost is allocating NEW page-cache pages
+    (first-touch of guest-physical memory measured 30MB/s..3GB/s by host
+    phase); steadily recycling our own just-written pages keeps the
+    working set to one window and measured 2-5x faster sequential output
+    than letting 3.4GB of dirty cache accumulate (scripts experiment,
+    round 5). Protocol per wrote(upto): start async writeback for the
+    fresh bytes, then WAIT + POSIX_FADV_DONTNEED on everything more than
+    `window` behind — dropped pages return to the guest free pool and the
+    next chunk's allocation reuses them. NGSTPU_WRITE_RECYCLE=0 disables.
+    """
+
+    WINDOW = 256 << 20
+
+    _sfr = None
+    _sfr_loaded = False
+
+    def __init__(self, fileobj):
+        self._f = fileobj
+        self._synced = 0
+        self._dropped = 0
+        self._on = os.environ.get("NGSTPU_WRITE_RECYCLE", "1") != "0" \
+            and hasattr(os, "posix_fadvise")
+        if self._on and not _PageRecycler._sfr_loaded:
+            _PageRecycler._sfr = _libc_sync_file_range()
+            _PageRecycler._sfr_loaded = True
+        if _PageRecycler._sfr is None:
+            self._on = False
+
+    def wrote(self, upto: int) -> None:
+        if not self._on or upto <= self._synced:
+            return
+        try:
+            fd = self._f.fileno()
+            _PageRecycler._sfr(fd, self._synced, upto - self._synced,
+                               _SFR_WRITE)
+            self._synced = upto
+            drop_to = upto - self.WINDOW
+            if drop_to > self._dropped:
+                _PageRecycler._sfr(fd, self._dropped,
+                                   drop_to - self._dropped,
+                                   _SFR_WAIT_BEFORE | _SFR_WRITE
+                                   | _SFR_WAIT_AFTER)
+                os.posix_fadvise(fd, self._dropped,
+                                 drop_to - self._dropped,
+                                 os.POSIX_FADV_DONTNEED)
+                self._dropped = drop_to
+        except OSError:
+            self._on = False
+
+
+class _RecyclingSink:
+    """Plain single-file sink for _RingWriter with page recycling."""
+
+    def __init__(self, f):
+        self._f = f
+        self._off = 0
+        self._rec = _PageRecycler(f)
+
+    def write(self, mv) -> None:
+        self._f.write(mv)
+        self._off += len(mv)
+        self._rec.wrote(self._off)
+
 class _RingWriter:
     """Background single-file writer fed from a ring of pooled buffers.
 
@@ -78,6 +160,8 @@ class _CloningSink:
         self._f1, self._f2 = f1, f2
         self._off = 0
         self._cfr = hasattr(os, "copy_file_range")
+        self._rec1 = _PageRecycler(f1)
+        self._rec2 = _PageRecycler(f2)
 
     def write(self, mv) -> None:
         n = len(mv)
@@ -98,6 +182,10 @@ class _CloningSink:
             self._f2.seek(self._off + done)
             self._f2.write(mv[done:])
         self._off += n
+        # recycle AFTER the clone: the copy_file_range source range must
+        # still be in cache, so f1's pages drop one window behind
+        self._rec1.wrote(self._off)
+        self._rec2.wrote(self._off)
 
 
 def _fresh(path: str) -> str:

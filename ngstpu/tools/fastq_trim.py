@@ -99,7 +99,9 @@ def _trim_fast(infile: str, outfile: str, start: int, end: int) -> int | None:
     cap = 1
     for lo in range(0, B, CHUNK_RECORDS):
         cap = max(cap, int(rec[lo:lo + CHUNK_RECORDS].sum()))
-    writer = _RingWriter(out, ["trim.a", "trim.b", "trim.c"])
+    from .emitters import _RecyclingSink
+
+    writer = _RingWriter(_RecyclingSink(out), ["trim.a", "trim.b", "trim.c"])
     try:
         for lo in range(0, B, CHUNK_RECORDS):
             hi = min(lo + CHUNK_RECORDS, B)

@@ -79,7 +79,7 @@ def _run_sort_fast(infile: str, outfile: str, by_name: bool,
 
     from ..io.fastindex import index_fastq, take_text
     from ..io.native import get_lib
-    from ..ops.sortengine import _DNA3_OK, sort_perm_host
+    from ..ops.sortengine import sort_perm_host
     from ..utils.bufpool import get_buffer, get_matrix
     from ..utils.linkprobe import link_verdict, probe_link
     from .emitters import _RingWriter, _fresh
@@ -104,42 +104,30 @@ def _run_sort_fast(infile: str, outfile: str, by_name: bool,
                                  np.int32)
     lmax = max(int(klens.max()), 4)
 
-    # pack collation words chunk-wise from the offsets. Sequences try the
+    # pack collation words straight from the offsets. Sequences try the
     # 3-bit DNA packing (identical collation on {.ACGNT}, 3.3x narrower
-    # keys); a chunk that breaks the alphabet restarts the pack raw.
-    # Names always pack raw (arbitrary bytes).
-    CH = 1 << 20
+    # keys) in ONE fused native pass (ngs_dna3_pack_ofs — no padded
+    # intermediate); a wider alphabet restarts the pack raw (chunked
+    # fill_padded + big-endian view). Names always pack raw.
     kind = "raw" if by_name else "dna3"
-    while True:
-        if kind == "dna3":
-            W = (lmax + 9) // 10
-        else:
-            lmax4 = (lmax + 3) // 4 * 4
-            W = lmax4 // 4
+    if kind == "dna3":
+        W = (lmax + 9) // 10
         words = get_matrix("sort.words", B, W, np.uint32)
-        ok = True
+        if lib.ngs_dna3_pack_ofs(ix.data, offs, klens, B, W, words, 0):
+            kind = "raw"
+    if kind == "raw":
+        CH = 1 << 20
+        lmax4 = (lmax + 3) // 4 * 4
+        W = lmax4 // 4
+        words = get_matrix("sort.words", B, W, np.uint32)
         for lo in range(0, B, CH):
             hi = min(lo + CH, B)
-            pad_to = lmax if kind == "dna3" else lmax4
-            padded = get_buffer("sort.pad", (hi - lo) * pad_to
-                                ).reshape(hi - lo, pad_to)
+            padded = get_buffer("sort.pad", (hi - lo) * lmax4
+                                ).reshape(hi - lo, lmax4)
             # (ngs_fill_padded zero-fills each row's tail itself)
             lib.ngs_fill_padded(ix.data, offs[lo:hi],
-                                klens[lo:hi], hi - lo, pad_to, padded, 0)
-            if kind == "dna3":
-                present = np.zeros(256, np.uint8)
-                lib.ngs_byte_presence(padded.reshape(-1),
-                                      padded.size, present, 0)
-                if not (~(present > 0) | _DNA3_OK).all():
-                    kind = "raw"
-                    ok = False
-                    break
-                lib.ngs_dna3_pack(padded, hi - lo, lmax, W,
-                                  words[lo:hi], 0)
-            else:
-                words[lo:hi] = padded.view(">u4")
-        if ok:
-            break
+                                klens[lo:hi], hi - lo, lmax4, padded, 0)
+            words[lo:hi] = padded.view(">u4")
 
     v = link_verdict()
     if v is None and words.nbytes >= (8 << 20):
@@ -160,7 +148,9 @@ def _run_sort_fast(infile: str, outfile: str, by_name: bool,
     suffix = "_sort_by_name.fq" if by_name else "_sort_by_seq.fq"
     with open(_fresh(with_suffix(outfile, suffix)), "wb",
               buffering=0) as f:
-        w = _RingWriter(f, ["sort.emitA", "sort.emitB"])
+        from .emitters import _RecyclingSink
+
+        w = _RingWriter(_RecyclingSink(f), ["sort.emitA", "sort.emitB"])
         try:
             for lo in range(0, B, 1 << 19):
                 sl = perm[lo:lo + (1 << 19)]

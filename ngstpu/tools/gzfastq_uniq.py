@@ -271,8 +271,10 @@ def _run_pe_fast(read1: str, read2: str, outfile: str,
               buffering=0) as f1, \
             open(_fresh(with_suffix(outfile, "_2_uniq.fq")), "wb",
                  buffering=0) as f2:
-        w1 = _RingWriter(f1, ["uniq.emit1a", "uniq.emit1b"])
-        w2 = _RingWriter(f2, ["uniq.emit2a", "uniq.emit2b"])
+        from .emitters import _RecyclingSink
+
+        w1 = _RingWriter(_RecyclingSink(f1), ["uniq.emit1a", "uniq.emit1b"])
+        w2 = _RingWriter(_RecyclingSink(f2), ["uniq.emit2a", "uniq.emit2b"])
         try:
             for rep, counts in gen:
                 n_groups += len(rep)

@@ -90,7 +90,9 @@ def run_fast(fused, infile: str, prefix: str, start: int, end: int,
                              int(trim_rec[lo:lo + CHUNK_RECORDS].sum()))
     ring_names = ["pipe.trim0", "pipe.trim1", "pipe.trim2"]
     tf = open(_fresh(prefix + ".trim.fastq"), "wb")
-    trim_writer = _RingWriter(tf, ring_names)
+    from .emitters import _RecyclingSink
+
+    trim_writer = _RingWriter(_RecyclingSink(tf), ring_names)
     try:
         for lo in range(0, B, CHUNK_RECORDS):
             hi = min(lo + CHUNK_RECORDS, B)
