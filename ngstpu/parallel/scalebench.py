@@ -128,6 +128,8 @@ def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     reads_per_chip, read_len = 262144, 128
     skip_dsort = False
+    sizes_arg = None
+    base_qc = None
     it = iter(argv)
     for a in it:
         if a == "--reads-per-chip":
@@ -136,14 +138,24 @@ def main(argv: list[str] | None = None) -> int:
             read_len = int(next(it))
         elif a == "--skip-dsort":
             skip_dsort = True
+        elif a == "--sizes":
+            # explicit mesh sizes — lets a retry driver run ONE size per
+            # subprocess (XLA's CPU collective rendezvous aborts the
+            # whole process under load spikes on this box; isolating
+            # sizes makes a crash retryable instead of fatal to the run)
+            sizes_arg = [int(x) for x in next(it).split(",") if x]
+        elif a == "--base-qc":
+            # single-device qc reads/s from a previous invocation, for
+            # efficiency computation when sizes are run in isolation
+            base_qc = float(next(it))
     n_all = len(jax.devices())
-    sizes = sorted({1, 2, 4, n_all} & set(range(1, n_all + 1)))
+    sizes = (sizes_arg if sizes_arg is not None
+             else sorted({1, 2, 4, n_all} & set(range(1, n_all + 1))))
     rows = [_bench_mesh(n, reads_per_chip, read_len, skip_dsort=skip_dsort)
             for n in sizes]
-    base = rows[0]
+    base = base_qc if base_qc is not None else rows[0]["qc_reads_per_s"]
     for r in rows:
-        r["qc_scaling_eff"] = (r["qc_reads_per_s"]
-                               / (base["qc_reads_per_s"] * r["n_dev"]))
+        r["qc_scaling_eff"] = r["qc_reads_per_s"] / (base * r["n_dev"])
         print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
                           for k, v in r.items()}), flush=True)
     return 0

@@ -107,3 +107,71 @@ def test_uniq_pe_fast_1m(tmp_path):
         assert (tmp_path / ("fast" + mate)).read_bytes() == \
             (tmp_path / ("gen" + mate)).read_bytes(), mate
     assert t_fast * 2 <= t_gen, (t_fast, t_gen)
+
+
+def test_uniq_pe_10m(tmp_path_factory):
+    """BASELINE config 3's memory story at the reference's own PE regime
+    (VERDICT r4 item 7): 10M-PAIR dedup, record-multiset parity vs the C
+    oracle, with both sides' peak anonymous memory recorded via the
+    fork-COW-safe runner. The reference quotes ~22GB for 52.2M pairs x
+    100nt (gzfastq_uniq.c:309) — linearly scaled to 10M pairs that is
+    ~4.2GB; our engine must come in well under that. Gated separately
+    (NGSTPU_BIG_TESTS_10M=1): ~4.4GB of fixtures + several GB of outputs.
+    """
+    import json
+    import pathlib
+    import subprocess
+    import sys
+
+    if not os.environ.get("NGSTPU_BIG_TESTS_10M"):
+        pytest.skip("set NGSTPU_BIG_TESTS_10M=1 for the 10M PE run")
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    d = tmp_path_factory.mktemp("pe10m")
+    n = 10_000_000
+    p1, p2 = d / "m1.fq", d / "m2.fq"
+    for p, seed in ((p1, 61), (p2, 62)):
+        gen = (f"import sys; sys.path.insert(0, {str(repo)!r})\n"
+               "from ngstpu.testing.fixtures import random_fastq_fast\n"
+               f"open({str(p)!r}, 'wb').write(random_fastq_fast("
+               f"{n}, 100, seed={seed}, dup_frac=0.3))\n")
+        assert subprocess.run([sys.executable, "-c", gen],
+                              timeout=1200).returncode == 0
+    from ngstpu.testing.oracles import build_oracle
+    oracle = build_oracle("gzfastq_uniq")
+    if oracle is None:
+        pytest.skip("no C toolchain")
+
+    def rss_run(cmds, cwd, env=None):
+        spec = json.dumps({"cmds": [[str(c) for c in cmd] for cmd in cmds],
+                           "cwd": str(cwd), "env": env or {}})
+        r = subprocess.run(
+            [sys.executable, str(repo / "scripts/rss_runner.py"), spec],
+            capture_output=True, timeout=3600)
+        assert r.returncode == 0, r.stderr.decode()[-500:]
+        return json.loads(r.stdout)
+
+    c_rows = rss_run([[oracle, "-1", p1, "-2", p2, "-o", d / "ref"]], d)
+    o_rows = rss_run(
+        [[sys.executable, "-m", "ngstpu.tools.cli", "gzfastq_uniq",
+          "-1", p1, "-2", p2, "-o", d / "ours"]], repo,
+        env={"JAX_PLATFORMS": "", "NGSTPU_LINK": "host",
+             "PALLAS_AXON_POOL_IPS": ""})
+    assert c_rows[0][-1] == 0 and o_rows[0][-1] == 0
+    c_anon, o_anon = c_rows[0][2], o_rows[0][2]
+    sys.stderr.write(
+        f"\n[pe10m] C: {c_rows[0][0]:.1f}s anon={c_anon:.0f}MB | "
+        f"ours: {o_rows[0][0]:.1f}s anon={o_anon:.0f}MB "
+        f"(reference quote scaled: ~4200MB)\n")
+    # memory envelope: ours must undercut the reference's own engine
+    assert o_anon < c_anon
+
+    def recs(path):
+        lines = path.read_bytes().split(b"\n")
+        if lines and lines[-1] == b"":
+            lines.pop()
+        assert len(lines) % 4 == 0
+        return sorted(tuple(lines[i:i + 4])
+                      for i in range(0, len(lines), 4))
+
+    for mate in ("_1_uniq.fq", "_2_uniq.fq"):
+        assert recs(d / ("ours" + mate)) == recs(d / ("ref" + mate)), mate
