@@ -1905,6 +1905,11 @@ int ngs_bam_m_events(const uint8_t* buf, int64_t n, int32_t n_refs,
         uint32_t bs;
         memcpy(&bs, buf + o, 4);
         if (o + 4 + bs > (uint64_t)n) break;
+        // the walk strides ~200B (headers + cigar only, seq/qual skipped)
+        // — prefetch the next record's header + cigar lines so the loop
+        // isn't serialized on demand misses over the 1.7GB body
+        __builtin_prefetch(buf + o + 4 + bs);
+        __builtin_prefetch(buf + o + 4 + bs + 64);
         if (bs < 32) {
             *n_events = ev; *consumed = o;
             mono_state[0] = mono; mono_state[1] = last_tid;

@@ -51,6 +51,11 @@ class _PageRecycler:
     """
 
     WINDOW = 256 << 20
+    # engage only past this many bytes written: sub-GB outputs fit the
+    # warm page pool and the writeback waits would be pure overhead
+    # (measured ~0.3-0.5s on the 2M-read composite); multi-GB outputs
+    # (the 10M-read tools) are where the allocation wall lives
+    START = 1 << 30
 
     _sfr = None
     _sfr_loaded = False
@@ -68,7 +73,7 @@ class _PageRecycler:
             self._on = False
 
     def wrote(self, upto: int) -> None:
-        if not self._on or upto <= self._synced:
+        if not self._on or upto <= self._synced or upto < self.START:
             return
         try:
             fd = self._f.fileno()
