@@ -150,9 +150,13 @@ class _RingWriter:
             self._work.put(None)
             self._t.join()
             self._t = None
-        if self._err is not None:
-            err, self._err = self._err, None
-            raise err
+        try:
+            if hasattr(self._sink, "close"):
+                self._sink.close()  # flush a threaded sink (clone queue)
+        finally:
+            if self._err is not None:
+                err, self._err = self._err, None
+                raise err
 
 
 class _CloningSink:
@@ -167,30 +171,91 @@ class _CloningSink:
         self._cfr = hasattr(os, "copy_file_range")
         self._rec1 = _PageRecycler(f1)
         self._rec2 = _PageRecycler(f2)
+        # the clone runs on its own thread so chunk k's kernel copy (and
+        # both files' writeback/recycle) overlaps chunk k+1's f1 write;
+        # maxsize bounds the clone lag to two chunks, well inside the
+        # recycler window, so the copy_file_range source is still cached
+        # when the clone reaches it
+        self._q: "queue.Queue[tuple | None]" = queue.Queue(maxsize=2)
+        self._err: BaseException | None = None
+        self._fd_in = -1
+        self._t = threading.Thread(target=self._clone_loop, daemon=True)
+        self._t.start()
 
-    def write(self, mv) -> None:
-        n = len(mv)
-        self._f1.write(mv)
+    def _src_fd(self) -> int:
+        # copy_file_range/pread need a READABLE source fd; f1 is the
+        # write-only output stream, so the clone opens its own read
+        # descriptor on the same path (round-5 fix: with f1's own fd the
+        # kernel returned EBADF and every "clone" silently fell back to
+        # a second user-space write)
+        if self._fd_in < 0:
+            self._fd_in = os.open(self._f1.name, os.O_RDONLY)
+        return self._fd_in
+
+    def _clone_range(self, off: int, n: int) -> None:
         done = 0
         if self._cfr:
             try:
+                src = self._src_fd()
                 while done < n:
                     k = os.copy_file_range(
-                        self._f1.fileno(), self._f2.fileno(), n - done,
-                        self._off + done, self._off + done)
+                        src, self._f2.fileno(), n - done,
+                        off + done, off + done)
                     if k == 0:
                         break
                     done += k
             except OSError:
                 self._cfr = False
-        if done < n:
-            self._f2.seek(self._off + done)
-            self._f2.write(mv[done:])
+        while done < n:
+            # fallback reads back from f1 — the authoritative bytes —
+            # never from the producer's pooled buffer (which may already
+            # be reused by the time the clone thread gets here)
+            chunk = os.pread(self._src_fd(), min(n - done, 8 << 20),
+                             off + done)
+            if not chunk:
+                raise OSError("clone source short read")
+            self._f2.seek(off + done)
+            self._f2.write(chunk)
+            done += len(chunk)
+
+    def _clone_loop(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            off, n = item
+            if self._err is None:
+                try:
+                    self._clone_range(off, n)
+                    # recycle AFTER the clone: f1's source range must
+                    # still be cached when copy_file_range reads it
+                    self._rec1.wrote(off + n)
+                    self._rec2.wrote(off + n)
+                except BaseException as e:  # pragma: no cover - rethrown
+                    self._err = e
+
+    def write(self, mv) -> None:
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+        n = len(mv)
+        self._f1.write(mv)
+        self._q.put((self._off, n))
         self._off += n
-        # recycle AFTER the clone: the copy_file_range source range must
-        # still be in cache, so f1's pages drop one window behind
-        self._rec1.wrote(self._off)
-        self._rec2.wrote(self._off)
+
+    def close(self) -> None:
+        if self._t is not None:
+            self._q.put(None)
+            self._t.join()
+            self._t = None
+        if self._fd_in >= 0:
+            try:
+                os.close(self._fd_in)
+            finally:
+                self._fd_in = -1
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
 
 
 def _fresh(path: str) -> str:

@@ -133,7 +133,12 @@ def _run_sort_fast(infile: str, outfile: str, by_name: bool,
     if v is None and words.nbytes >= (8 << 20):
         v = probe_link(words)
     if v == "host":
-        perm = sort_perm_host(words, klens, True)
+        # constant-length keys make the length-first comparator vacuous;
+        # dropping it lets the host engine bucket by the leading packed
+        # byte (256-way parallel radix) instead of collapsing every row
+        # into one length bucket (a single-threaded sort at 10M rows)
+        const = B > 0 and int(klens.min()) == int(klens.max())
+        perm = sort_perm_host(words, klens, not const)
     else:
         import jax.numpy as jnp
 
