@@ -60,10 +60,19 @@ class _PageRecycler:
     _sfr = None
     _sfr_loaded = False
 
+    # adaptive cutoff: if the first START bytes wrote FASTER than this,
+    # page allocation is cheap in the current host phase and the
+    # writeback waits would only add latency (the C reference pays no
+    # in-window writeback either) — skip recycling for this stream
+    BW_SKIP = 900e6
+
     def __init__(self, fileobj):
         self._f = fileobj
         self._synced = 0
         self._dropped = 0
+        self._wbytes = 0
+        self._wsecs = 0.0
+        self._decided = False
         self._on = os.environ.get("NGSTPU_WRITE_RECYCLE", "1") != "0" \
             and hasattr(os, "posix_fadvise")
         if self._on and not _PageRecycler._sfr_loaded:
@@ -72,9 +81,20 @@ class _PageRecycler:
         if _PageRecycler._sfr is None:
             self._on = False
 
+    def note_write(self, nbytes: int, seconds: float) -> None:
+        """Observed cost of a plain write() — the allocation-wall probe."""
+        self._wbytes += nbytes
+        self._wsecs += seconds
+
     def wrote(self, upto: int) -> None:
         if not self._on or upto <= self._synced or upto < self.START:
             return
+        if not self._decided:
+            self._decided = True
+            if self._wbytes >= (self.START >> 1) and self._wsecs > 0 \
+                    and self._wbytes / self._wsecs > self.BW_SKIP:
+                self._on = False
+                return
         try:
             fd = self._f.fileno()
             _PageRecycler._sfr(fd, self._synced, upto - self._synced,
@@ -103,7 +123,11 @@ class _RecyclingSink:
         self._rec = _PageRecycler(f)
 
     def write(self, mv) -> None:
+        import time
+
+        t0 = time.monotonic()
         self._f.write(mv)
+        self._rec.note_write(len(mv), time.monotonic() - t0)
         self._off += len(mv)
         self._rec.wrote(self._off)
 
@@ -235,11 +259,17 @@ class _CloningSink:
                     self._err = e
 
     def write(self, mv) -> None:
+        import time
+
         if self._err is not None:
             err, self._err = self._err, None
             raise err
         n = len(mv)
+        t0 = time.monotonic()
         self._f1.write(mv)
+        dt = time.monotonic() - t0
+        self._rec1.note_write(n, dt)
+        self._rec2.note_write(n, dt)  # same phase, same wall
         self._q.put((self._off, n))
         self._off += n
 
