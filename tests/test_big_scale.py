@@ -165,13 +165,29 @@ def test_uniq_pe_10m(tmp_path_factory):
     # memory envelope: ours must undercut the reference's own engine
     assert o_anon < c_anon
 
-    def recs(path):
-        lines = path.read_bytes().split(b"\n")
-        if lines and lines[-1] == b"":
-            lines.pop()
-        assert len(lines) % 4 == 0
-        return sorted(tuple(lines[i:i + 4])
-                      for i in range(0, len(lines), 4))
+    def rec_digests(path):
+        # multiset parity via sorted per-record digests: materializing
+        # 10M 4-line tuples costs ~4GB and minutes of python sort;
+        # 16-byte blake2b digests cost ~320MB and seconds
+        import hashlib
+
+        import numpy as np
+
+        data = path.read_bytes()
+        recs = data.split(b"\n")
+        if recs and recs[-1] == b"":
+            recs.pop()
+        assert len(recs) % 4 == 0
+        dig = np.empty((len(recs) // 4, 2), np.uint64)
+        for k in range(0, len(recs), 4):
+            h = hashlib.blake2b(b"\n".join(recs[k:k + 4]),
+                                digest_size=16).digest()
+            dig[k // 4] = np.frombuffer(h, np.uint64)
+        dig = dig[np.lexsort((dig[:, 1], dig[:, 0]))]
+        return dig
+
+    import numpy as np
 
     for mate in ("_1_uniq.fq", "_2_uniq.fq"):
-        assert recs(d / ("ours" + mate)) == recs(d / ("ref" + mate)), mate
+        assert np.array_equal(rec_digests(d / ("ours" + mate)),
+                              rec_digests(d / ("ref" + mate))), mate
