@@ -147,6 +147,18 @@ def _emit_outputs(path, header, rows_and_bins, index1: int, outfile: str,
 def _emit_loop(header, rows_and_bins, bedgraph, depth_out, wig_out,
                chr_out, window: int, wig: bool, timer: StageTimer,
                done_refs: list) -> None:
+    import time as _time
+
+    from .emitters import _PageRecycler
+
+    # the bedGraph is the big output (hundreds of MB on WGS) and its
+    # page-cache allocation is the dominant non-decode cost in the wall
+    # phases of this host — adaptive recycling with a small window (the
+    # probe skips it when pages are cheap)
+    rec = (None if bedgraph is sys.stdout
+           else _PageRecycler(bedgraph.buffer, window=96 << 20,
+                              start=160 << 20))
+    rec_off = 0
     for (name, tlen), (rows_b, bins) in zip(
             zip(header.ref_names, header.ref_lens), rows_and_bins):
         n_windows = tlen // window + 1
@@ -154,10 +166,14 @@ def _emit_loop(header, rows_and_bins, bedgraph, depth_out, wig_out,
             if bedgraph is sys.stdout:  # keep text-layer ordering on stdout
                 bedgraph.write(bytes(rows_b).decode())
             else:
-                # bytes straight to the OS buffer: the bedGraph is the big
-                # output (tens of MB); decode+re-encode through the text
-                # layer costs a full extra pass
+                # bytes straight to the OS buffer: decode+re-encode
+                # through the text layer costs a full extra pass
+                t0 = _time.monotonic()
                 bedgraph.buffer.write(rows_b)
+                if rec is not None:
+                    rec.note_write(len(rows_b), _time.monotonic() - t0)
+                    rec_off += len(rows_b)
+                    rec.wrote(rec_off)
         ws = np.arange(n_windows, dtype=np.int64) * window
         we = np.minimum(ws + window, tlen)
         rows = [f"{name}\t{int(ws[i])}\t{int(we[i])}\t{bins[i] / window:.2f}\n"

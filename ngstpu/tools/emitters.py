@@ -66,8 +66,11 @@ class _PageRecycler:
     # in-window writeback either) — skip recycling for this stream
     BW_SKIP = 900e6
 
-    def __init__(self, fileobj):
+    def __init__(self, fileobj, window: int | None = None,
+                 start: int | None = None):
         self._f = fileobj
+        self._window = self.WINDOW if window is None else window
+        self._start = self.START if start is None else start
         self._synced = 0
         self._dropped = 0
         self._wbytes = 0
@@ -87,11 +90,11 @@ class _PageRecycler:
         self._wsecs += seconds
 
     def wrote(self, upto: int) -> None:
-        if not self._on or upto <= self._synced or upto < self.START:
+        if not self._on or upto <= self._synced or upto < self._start:
             return
         if not self._decided:
             self._decided = True
-            if self._wbytes >= (self.START >> 1) and self._wsecs > 0 \
+            if self._wbytes >= (self._start >> 1) and self._wsecs > 0 \
                     and self._wbytes / self._wsecs > self.BW_SKIP:
                 self._on = False
                 return
@@ -100,7 +103,7 @@ class _PageRecycler:
             _PageRecycler._sfr(fd, self._synced, upto - self._synced,
                                _SFR_WRITE)
             self._synced = upto
-            drop_to = upto - self.WINDOW
+            drop_to = upto - self._window
             if drop_to > self._dropped:
                 _PageRecycler._sfr(fd, self._dropped,
                                    drop_to - self._dropped,
