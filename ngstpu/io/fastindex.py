@@ -153,17 +153,37 @@ def _inflate_gz_members_parallel(lib, raw: np.ndarray,
     starts = c0[m]
     if len(starts) < 2 or starts[0] != 0:
         return None
-    ends = np.append(starts[1:], n).astype(np.int64)
     starts = starts.astype(np.int64)
-    lens = ends - starts
-    if (lens < 28).any():  # header(10) + trailer(8) + some payload
+    # a FALSE boundary (the 3-byte magic inside compressed data) splits a
+    # real member in two, and the first piece's "ISIZE" reads mid-stream
+    # garbage — prune such candidates and re-derive instead of rejecting
+    # the whole layout (one false hit per ~100MB is routine). Pruning a
+    # real boundary is impossible to confuse for long: the decode below
+    # is fully self-validating (exact produced-size match + CRC).
+    for _ in range(8):
+        ends = np.append(starts[1:], n)
+        lens = ends - starts
+        if (lens < 28).any():  # header(10) + trailer(8) + some payload
+            bad = np.flatnonzero(lens < 28)
+            if bad[-1] == len(starts) - 1 or len(starts) < 3:
+                return None
+            starts = np.delete(starts, bad + 1)
+            continue
+        isizes = np.ascontiguousarray(
+            raw[(ends[:, None] + np.arange(-4, 0)[None, :]).reshape(-1)]
+        ).view(np.uint32).astype(np.int64)
+        # plausibility: DEFLATE can't exceed ~1032x; zero-size members
+        # are legal (empty writer flushes) but a giant claimed total is
+        # not — an implausible size marks the NEXT candidate as false
+        bad = np.flatnonzero(isizes > 1032 * lens)
+        if len(bad) == 0:
+            break
+        if bad[-1] == len(starts) - 1 or len(starts) < 3:
+            return None  # the file's own trailer is implausible
+        starts = np.delete(starts, bad + 1)
+    else:
         return None
-    isizes = np.ascontiguousarray(
-        raw[(ends[:, None] + np.arange(-4, 0)[None, :]).reshape(-1)]
-    ).view(np.uint32).astype(np.int64)
-    # plausibility: DEFLATE can't exceed ~1032x; zero-size members are
-    # legal (empty writer flushes) but a giant claimed total is not
-    if (isizes > 1032 * lens).any():
+    if len(starts) < 2:
         return None
     total = int(isizes.sum())
     if total > 1032 * n or total <= 0:

@@ -120,10 +120,11 @@ class _PageRecycler:
 class _RecyclingSink:
     """Plain single-file sink for _RingWriter with page recycling."""
 
-    def __init__(self, f):
+    def __init__(self, f, window: int | None = None,
+                 start: int | None = None):
         self._f = f
         self._off = 0
-        self._rec = _PageRecycler(f)
+        self._rec = _PageRecycler(f, window=window, start=start)
 
     def write(self, mv) -> None:
         import time

@@ -96,15 +96,20 @@ def _trim_fast(infile: str, outfile: str, start: int, end: int) -> int | None:
     cl = np.clip(np.minimum(ix.seq_len.astype(np.int64), end) - start,
                  0, None)
     rec = ix.name_len.astype(np.int64) + 1 + cl + 3 + cl + 1
-    cap = 1
-    for lo in range(0, B, CHUNK_RECORDS):
-        cap = max(cap, int(rec[lo:lo + CHUNK_RECORDS].sum()))
     from .emitters import _RecyclingSink
 
-    writer = _RingWriter(_RecyclingSink(out), ["trim.a", "trim.b", "trim.c"])
+    # finer chunks than the shared default: more format/write overlap
+    # and earlier recycling on mid-sized outputs
+    step = CHUNK_RECORDS // 4
+    cap = 1
+    for lo in range(0, B, step):
+        cap = max(cap, int(rec[lo:lo + step].sum()))
+    writer = _RingWriter(_RecyclingSink(out, window=64 << 20,
+                                        start=128 << 20),
+                         ["trim.a", "trim.b", "trim.c"])
     try:
-        for lo in range(0, B, CHUNK_RECORDS):
-            hi = min(lo + CHUNK_RECORDS, B)
+        for lo in range(0, B, step):
+            hi = min(lo + step, B)
             name = writer.acquire()
             buf = get_buffer(name, cap)
             total = trim_text(ix, lo, hi, start, end, buf)
