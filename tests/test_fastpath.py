@@ -324,8 +324,9 @@ def test_gz_multimember_parallel_inflate(tmp_path):
     """A pigz-style multi-member .gz decodes member-parallel (boundaries
     from the magic scan, sizes from the ISIZE trailers) with output
     identical to the sequential walk; a payload that happens to CONTAIN
-    the gzip magic (level-0 stored block) defeats the speculative split
-    and must fall back to the sequential path with identical output."""
+    the gzip magic (level-0 stored block) must either be handled by the
+    false-boundary pruning (round 5) or fall back to the sequential
+    path — output identical either way."""
     import zlib
 
     import numpy as np
@@ -350,15 +351,21 @@ def test_gz_multimember_parallel_inflate(tmp_path):
     assert ix is not None and ix.n == 2000
 
     # false candidate: a stored (level-0) member whose payload embeds the
-    # gzip magic — the speculative split self-detects and returns None
+    # gzip magic — round 5's pruning removes the false boundary (an
+    # implausible mid-stream "ISIZE"), so the parallel path now decodes
+    # this correctly; if a pathological layout ever defeats pruning the
+    # self-validating decode returns None and the sequential walk covers
+    # it — either way the bytes must be exact
     name_trap = b"@r\x1f\x8b\x08\x00trap\nACGT\n+\n!!!!\n"
     co = zlib.compressobj(0, zlib.DEFLATED, 16 + 15)
     trap = co.compress(name_trap) + co.flush()
     pz2 = tmp_path / "trap.fq.gz"
     pz2.write_bytes(gzip.compress(parts[0], mtime=0) + trap)
     raw2 = np.fromfile(pz2, np.uint8)
-    assert _inflate_gz_members_parallel(lib, raw2, "t.trap") is None
-    ix2 = index_fastq(str(pz2), pool="t.trap2")  # sequential fallback
+    out2 = _inflate_gz_members_parallel(lib, raw2, "t.trap")
+    if out2 is not None:
+        assert out2.tobytes() == parts[0] + name_trap
+    ix2 = index_fastq(str(pz2), pool="t.trap2")
     assert ix2 is not None and ix2.n == 401
 
 
@@ -404,3 +411,37 @@ def test_host_radix_sort_adversarial():
     host2 = sort_perm_host(words, lens, False)
     keys_nf = [np.arange(B)] + [words[:, w] for w in range(W - 1, -1, -1)]
     np.testing.assert_array_equal(host2, np.lexsort(tuple(keys_nf)))
+
+
+def test_cloning_sink_fallback_without_cfr(tmp_path, monkeypatch):
+    """If copy_file_range fails mid-stream, the threaded clone falls back
+    to pread from f1 (the authoritative bytes) — never the producer's
+    pooled buffer, which may be reused by then. Outputs must stay
+    byte-identical."""
+    import os as _os
+
+    from ngstpu.tools.emitters import _CloningSink
+
+    calls = {"n": 0}
+    real_cfr = _os.copy_file_range
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise OSError(38, "cfr disabled mid-stream")
+        return real_cfr(*a, **k)
+
+    monkeypatch.setattr(_os, "copy_file_range", flaky)
+    rng = np.random.default_rng(8)
+    chunks = [rng.integers(65, 91, 1 << 20, dtype=np.uint8).tobytes()
+              for _ in range(5)]
+    with open(tmp_path / "a.bin", "wb", buffering=0) as f1, \
+            open(tmp_path / "b.bin", "wb", buffering=0) as f2:
+        sink = _CloningSink(f1, f2)
+        for c in chunks:
+            sink.write(memoryview(c))
+        sink.close()
+    a = (tmp_path / "a.bin").read_bytes()
+    b = (tmp_path / "b.bin").read_bytes()
+    assert a == b == b"".join(chunks)
+    assert calls["n"] >= 2  # the failure path actually ran
