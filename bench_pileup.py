@@ -147,6 +147,51 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 - secondary metric only
         sys.stderr.write(f"[bench_pileup] small-genome skipped: {e}\n")
 
+    # BASELINE config 5's other two tools, recorded (round 5): bam2wig
+    # (same engines, wig-only emission + chromSize) and bam_sliding_count
+    # (windowed read/base/GC stats + PNG) on the small fixture —
+    # interleaved min-of-N like everything else here
+    try:
+        from ngstpu.tools import bam2wig as ours_wig
+        from ngstpu.tools import bam_sliding_count as ours_slc
+
+        for tool, cexe, run_ours_fn in (
+            ("bam2wig", build_oracle("bam2wig"),
+             lambda: ours_wig.main(["-o", str(work / "nw"), str(small)])),
+            ("bam_sliding_count", build_oracle("bam_sliding_count"),
+             lambda: ours_slc.main(["-o", str(work / "nc"), "-w", "5000",
+                                    str(small)])),
+        ):
+            if cexe is None:
+                continue
+            c_args = (["-o", str(work / "cw"), str(small)]
+                      if tool == "bam2wig"
+                      else ["-o", str(work / "cc"), "-w", "5000",
+                            str(small)])
+            run_ours_fn()  # warm
+            cb, ob = None, None
+            for _ in range(2):
+                t0 = time.monotonic()
+                r = subprocess.run([cexe] + c_args, capture_output=True,
+                                   timeout=3600, cwd=str(work))
+                if r.returncode == 0:
+                    c = time.monotonic() - t0
+                    cb = c if cb is None else min(cb, c)
+                for _ in range(2):
+                    t0 = time.monotonic()
+                    if run_ours_fn() == 0:
+                        dt = time.monotonic() - t0
+                        ob = dt if ob is None else min(ob, dt)
+            if ob:
+                payload[f"{tool}_vs_baseline"] = (round(cb / ob, 3)
+                                                  if cb else 0.0)
+                payload[f"{tool}_seconds"] = round(ob, 2)
+                sys.stderr.write(
+                    f"[bench_pileup] {tool} ours={ob:.2f}s "
+                    f"C_ref={'%.2f' % cb if cb else 'n/a'}s\n")
+    except Exception as e:  # noqa: BLE001 - secondary metric only
+        sys.stderr.write(f"[bench_pileup] wig/sliding skipped: {e}\n")
+
     # per-stage core-second breakdown (round-3 verdict item 1b): stage-
     # isolated wall+cpu recorded INTO the bench artifact, so the result —
     # above or below 10x — carries its own evidence. inflate_1core.cpu_s
