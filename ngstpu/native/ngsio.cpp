@@ -2215,6 +2215,32 @@ void ngs_sort_perm_host(const uint32_t* words, const int32_t* lens,
     });
 }
 
+// Streamed variant of ngs_sort_perm_host for constant-length inputs
+// (lex order == length-first order there): the MSD scatter and the
+// per-bucket radix are split into two entry points so a sorter thread
+// can hand each finished bucket range to the emitter while later
+// buckets still sort — the sort stage leaves the tool's critical path
+// (round 5; the emit of bucket k overlaps the radix of bucket k+1).
+void ngs_msd_scatter_u32(const uint32_t* words, int64_t b, int64_t W,
+                         int32_t* perm, int64_t* boff257) {
+    for (int k = 0; k <= 256; ++k) boff257[k] = 0;
+    for (int64_t i = 0; i < b; ++i) ++boff257[(words[i * W] >> 24) + 1];
+    for (int k = 0; k < 256; ++k) boff257[k + 1] += boff257[k];
+    std::vector<int64_t> cursor(boff257, boff257 + 256);
+    for (int64_t i = 0; i < b; ++i)
+        perm[cursor[words[i * W] >> 24]++] = static_cast<int32_t>(i);
+}
+
+// Sort one scattered bucket range perm[lo..hi) (top byte of word0 fixed
+// by the scatter): radix over the low 24 bits, recursing into later
+// words on ties. Thread-safe across disjoint ranges.
+void ngs_sort_perm_range(const uint32_t* words, int64_t W,
+                         int32_t* perm, int64_t lo, int64_t hi) {
+    std::vector<uint64_t> t0, t1;
+    std::vector<int32_t> psnap;
+    radix_rows(words, nullptr, 0, W, perm, lo, hi, 0, 24, t0, t1, psnap);
+}
+
 // Fully fused event-mode emitter: the ngs_pileup_sweep_se merge PLUS the
 // interval merge (_intervals_from_sweep), bedGraph row formatting
 // (format_int3_rows) and the bam2depth window binning

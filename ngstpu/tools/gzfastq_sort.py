@@ -138,7 +138,14 @@ def _run_sort_fast(infile: str, outfile: str, by_name: bool,
         # byte (256-way parallel radix) instead of collapsing every row
         # into one length bucket (a single-threaded sort at 10M rows)
         const = B > 0 and int(klens.min()) == int(klens.max())
-        perm = sort_perm_host(words, klens, not const)
+        if const:
+            # STREAMED sort->emit (round 5): byte buckets ARE output
+            # order when lengths are constant, so a sorter thread hands
+            # each finished bucket to the emitter while later buckets
+            # still radix — the sort stage leaves the critical path
+            _stream_sorted_emit(ix, words, outfile, by_name, timer, ru)
+            return True
+        perm = sort_perm_host(words, klens, True)
     else:
         import jax.numpy as jnp
 
@@ -168,6 +175,80 @@ def _run_sort_fast(infile: str, outfile: str, by_name: bool,
     ru.checkpoint("emit_write")
     ru.dump(tool="gzfastq_sort", reads=B, placement=v or "device")
     return True
+
+
+def _stream_sorted_emit(ix, words: np.ndarray, outfile: str, by_name: bool,
+                        timer: StageTimer, ru) -> None:
+    """Constant-length host sort with the radix streamed under the emit:
+    ngs_msd_scatter_u32 builds the stable 256-bucket permutation, a
+    sorter thread radixes buckets in ascending (== output) order
+    (ngs_sort_perm_range, GIL released), and the main thread formats +
+    submits each completed bucket range to the ring writer. Order is
+    identical to sort_perm_host(words, lens, length_first) on equal
+    lengths — covered by the byte-parity oracle tests."""
+    import ctypes
+    import queue
+    import threading
+
+    from ..io.fastindex import take_text
+    from ..io.native import get_lib
+    from ..utils.bufpool import get_buffer
+    from .emitters import _RecyclingSink, _RingWriter, _fresh
+
+    lib = get_lib()
+    B, W = words.shape
+    perm = get_buffer("sort.perm", 4 * B, np.int32)[:B]
+    boff = np.zeros(257, np.int64)
+    lib.ngs_msd_scatter_u32(words, B, W, perm, boff)
+    done_q: "queue.Queue[int]" = queue.Queue()
+    box: list = []
+
+    def sorter():
+        try:
+            for k in range(256):
+                if boff[k + 1] > boff[k]:
+                    lib.ngs_sort_perm_range(words, W, perm,
+                                            int(boff[k]), int(boff[k + 1]))
+                done_q.put(k)
+        except BaseException as e:  # pragma: no cover - surfaced below
+            box.append(e)
+            done_q.put(-1)
+
+    t = threading.Thread(target=sorter, daemon=True)
+    t.start()
+    timer.log("done qsort file at %.3f s\n")
+    ru.checkpoint("pack_sort")
+    suffix = "_sort_by_name.fq" if by_name else "_sort_by_seq.fq"
+    with open(_fresh(with_suffix(outfile, suffix)), "wb",
+              buffering=0) as f:
+        w = _RingWriter(_RecyclingSink(f), ["sort.emitA", "sort.emitB"])
+        try:
+            emitted = 0   # buckets formatted
+            ready = -1    # highest contiguous sorted bucket
+            # group small buckets: submit once >= this many rows ready
+            MIN_ROWS = 1 << 18
+            pend_lo = 0
+            while emitted < 256:
+                k = done_q.get()
+                if k < 0:
+                    raise box[0]
+                ready = k
+                lo, hi = pend_lo, int(boff[ready + 1])
+                if hi - lo >= MIN_ROWS or ready == 255:
+                    for clo in range(lo, hi, 1 << 19):
+                        chi = min(clo + (1 << 19), hi)
+                        name = w.acquire()
+                        view, total = take_text(
+                            ix, perm[clo:chi].astype(np.int64), name)
+                        w.submit(name, view, total)
+                    pend_lo = hi
+                emitted = ready + 1
+        finally:
+            w.close()
+    t.join()
+    timer.log("done write file at %.3f s\n")
+    ru.checkpoint("emit_write")
+    ru.dump(tool="gzfastq_sort", reads=B, placement="host")
 
 
 def _link_placement(operand: np.ndarray) -> str | None:

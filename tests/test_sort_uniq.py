@@ -360,3 +360,32 @@ def test_sort_generic_path_still_covered(tmp_path, monkeypatch, flag,
               str(tmp_path / "fast")])
     assert (tmp_path / ("gen" + suffix)).read_bytes() == \
         (tmp_path / ("fast" + suffix)).read_bytes()
+
+
+@pytest.mark.parametrize("flag,suffix", [("-s", "_sort_by_seq.fq"),
+                                         ("-n", "_sort_by_name.fq")])
+def test_sort_host_streamed_const_len_parity(tmp_path, monkeypatch, flag,
+                                             suffix):
+    """Round-5 streamed sort->emit (constant-length inputs route through
+    _stream_sorted_emit: bucket radix on a sorter thread, emit of bucket
+    k under the radix of k+1) must stay byte-identical to the C oracle.
+    Fixed-length reads with heavy duplicates exercise deep radix ties."""
+    from ngstpu.io.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    monkeypatch.setenv("NGSTPU_LINK", "host")
+    data = random_fastq(3000, read_len=80, var_len=False, seed=77,
+                        dup_frac=0.5)
+    p = tmp_path / "in.fq"
+    p.write_bytes(data)
+    ref = run_oracle("gzfastq_sort", ["-i", str(p), flag, "-o",
+                                      str(tmp_path / "ref")],
+                     cwd=str(tmp_path))
+    if ref is None:
+        pytest.skip("no C toolchain")
+    rc = cli_main(["gzfastq_sort", "-i", str(p), flag, "-o",
+                   str(tmp_path / "ours")])
+    assert rc == 0
+    assert (tmp_path / ("ours" + suffix)).read_bytes() == \
+        (tmp_path / ("ref" + suffix)).read_bytes()
