@@ -149,6 +149,12 @@ def get_lib() -> ctypes.CDLL | None:
         lib.ngs_dna3_pack_ofs.argtypes = [
             _p_u8, _p_i64, _p_i32, _i64, _i64,
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"), _int]
+        lib.ngs_dedup_groups_range.restype = _i64
+        lib.ngs_dedup_groups_range.argtypes = [
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            _int, _i64, _p_i32, _i64, _i64, _p_i64, _p_i64]
         lib.ngs_msd_scatter_u32.argtypes = [
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
             _i64, _i64, _p_i32, _p_i64]

@@ -1512,6 +1512,50 @@ int64_t ngs_dedup_groups_host(const uint32_t* words, const int32_t* lens,
     return total;
 }
 
+// Streamed single-bucket twin of ngs_dedup_groups_host (round 5): sorts
+// perm[lo..hi) (top byte fixed by ngs_msd_scatter_u32) and extracts its
+// groups at rep/counts + lo (a group never straddles buckets). A sorter
+// thread walks buckets in ascending (== key) order so the uniq emit of
+// bucket k overlaps the radix of bucket k+1. Returns the group count.
+int64_t ngs_dedup_groups_range(const uint32_t* words, const int32_t* lens,
+                               const uint32_t* sumq, int use_len,
+                               int64_t W, int32_t* perm,
+                               int64_t lo, int64_t hi,
+                               int64_t* rep, int64_t* counts) {
+    if (hi <= lo) return 0;
+    std::vector<uint64_t> t0, t1;
+    std::vector<int32_t> psnap;
+    radix_rows(words, lens, use_len, W, perm, lo, hi, 0, 24, t0, t1, psnap);
+    int64_t* rp = rep + lo;
+    int64_t* cp = counts + lo;
+    int64_t g = 0, gstart = lo;
+    uint32_t best_q = sumq[perm[lo]];
+    int32_t best_row = perm[lo];
+    for (int64_t i = lo + 1; i <= hi; ++i) {
+        bool head = true;
+        if (i < hi) {
+            const uint32_t* ra = words + (int64_t)perm[i - 1] * W;
+            const uint32_t* rc = words + (int64_t)perm[i] * W;
+            head = memcmp(ra, rc, W * 4) != 0 ||
+                   (use_len && lens[perm[i - 1]] != lens[perm[i]]);
+        }
+        if (head) {
+            rp[g] = best_row;
+            cp[g] = i - gstart;
+            ++g;
+            if (i < hi) {
+                gstart = i;
+                best_q = sumq[perm[i]];
+                best_row = perm[i];
+            }
+        } else {
+            uint32_t q = sumq[perm[i]];
+            if (q > best_q) { best_q = q; best_row = perm[i]; }
+        }
+    }
+    return g;
+}
+
 // pick_pair merge-join over two offset-indexed name-sorted files
 // (reference pick_pair.c:104-118 loop structure, ported index-based: one
 // record from EACH side per outer iteration, each side advanced past

@@ -326,34 +326,62 @@ def _sort_host_async(words_all: np.ndarray, key_lens: np.ndarray,
     from ..utils.bufpool import get_buffer
 
     B = len(words_all)
+    W = words_all.shape[1]
     lib = get_lib()
     perm = get_buffer("pipe.perm", 4 * B, np.int32)[:B]
     rep = get_buffer("pipe.rep", 8 * B, np.int64)[:B]
     counts = get_buffer("pipe.cnt", 8 * B, np.int64)[:B]
     lens = np.ascontiguousarray(key_lens, np.int32)
-    box: list = []
+    lens_p = lens.ctypes.data_as(ctypes.c_void_p)
+    use_len = 0 if const_len else 1
+
+    # STREAMED (round 5): scatter once, then a sorter thread walks the
+    # 256 byte buckets in ascending (== key) order, sorting each and
+    # extracting its groups in place (ngs_dedup_groups_range — a group
+    # never straddles buckets); the generator yields each bucket's group
+    # block as it lands, so the uniq emit of bucket k overlaps the radix
+    # of bucket k+1 instead of waiting for the whole sort.
+    boff = np.zeros(257, np.int64)
+    lib.ngs_msd_scatter_u32(words_all, B, W, perm, boff)
+    done_q: "queue.Queue[tuple]" = queue.Queue()
 
     def run():
         try:
-            box.append(lib.ngs_dedup_groups_host(
-                words_all, lens.ctypes.data_as(ctypes.c_void_p), sumq_all,
-                0 if const_len else 1, B, words_all.shape[1], perm, rep,
-                counts, 0))
-        except BaseException as e:  # pragma: no cover - surfaced on join
-            box.append(e)
+            for k in range(256):
+                g = lib.ngs_dedup_groups_range(
+                    words_all, lens_p, sumq_all, use_len, W, perm,
+                    int(boff[k]), int(boff[k + 1]), rep, counts)
+                done_q.put((k, g, None))
+        except BaseException as e:  # pragma: no cover - surfaced below
+            done_q.put((-1, 0, e))
 
     t = threading.Thread(target=run, daemon=True)
     t.start()
 
     def gen():
+        # batch tiny buckets so downstream text assembly stays chunky
+        MIN_GROUPS = 1 << 18
+        pend: list = []
+        pend_n = 0
+        for _ in range(256):
+            k, g, err = done_q.get()
+            if err is not None:
+                raise err
+            if g:
+                pend.append((int(boff[k]), g))
+                pend_n += g
+            if pend_n >= MIN_GROUPS or (k == 255 and pend):
+                if len(pend) == 1:
+                    o, n = pend[0]
+                    yield rep[o:o + n], counts[o:o + n]
+                else:
+                    # each bucket's groups sit at its scatter offset with
+                    # a gap after (groups <= rows) — gather them tight
+                    yield (np.concatenate([rep[o:o + n] for o, n in pend]),
+                           np.concatenate([counts[o:o + n]
+                                           for o, n in pend]))
+                pend, pend_n = [], 0
         t.join()
-        if box and isinstance(box[0], BaseException):
-            raise box[0]
-        g = box[0]
-        step = 1 << 19
-        for lo in range(0, g, step):
-            hi = min(lo + step, g)
-            yield rep[lo:hi], counts[lo:hi]
 
     return gen()
 
