@@ -445,3 +445,46 @@ def test_cloning_sink_fallback_without_cfr(tmp_path, monkeypatch):
     b = (tmp_path / "b.bin").read_bytes()
     assert a == b == b"".join(chunks)
     assert calls["n"] >= 2  # the failure path actually ran
+
+
+def test_gz_false_boundary_repair(tmp_path):
+    """A false boundary whose following bytes parse as a DEFLATE
+    stored-block prefix defeats BOTH cheap filters (the 4KB zlib probe
+    sees 'needs more input', and a planted plausible 'ISIZE' passes the
+    ratio test) — the decode-driven repair loop (round 5) must identify
+    the consecutive failed-member run, merge it, and still produce exact
+    bytes through the parallel path."""
+    import struct
+    import zlib
+
+    from ngstpu.io.fastindex import _inflate_gz_members_parallel
+    from ngstpu.io.native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(7)
+    part0 = random_fastq(400, read_len=60, seed=1, dup_frac=0.2)
+    part2 = random_fastq(400, read_len=60, seed=2, dup_frac=0.2)
+    # middle member is STORED (level 0), so its payload bytes appear
+    # verbatim in the compressed stream — embed a fake gzip header
+    # followed by a stored-block prefix claiming 0xFFFF upcoming bytes
+    # (the probe window ends first: no zlib error), preceded by a
+    # plausible fake ISIZE for the piece the false boundary terminates
+    trap = (struct.pack("<I", 5000)            # fake "ISIZE" = 5000
+            + b"\x1f\x8b\x08\x00"              # gzip magic, FLG=0
+            + b"\x00\x00\x00\x00\x00\x03"      # mtime/XFL/OS
+            + b"\x00\xff\xff\x00\x00")         # stored block, LEN=0xFFFF
+    filler = rng.integers(97, 123, 6000, dtype=np.uint8).tobytes()
+    text1 = filler + trap + filler + b"\n"
+    co = zlib.compressobj(0, zlib.DEFLATED, 16 + 15)
+    member1 = co.compress(text1) + co.flush()
+
+    pz = tmp_path / "trapstored.fq.gz"
+    pz.write_bytes(gzip.compress(part0, mtime=0) + member1
+                   + gzip.compress(part2, mtime=0))
+    raw = np.fromfile(pz, np.uint8)
+    out = _inflate_gz_members_parallel(lib, raw, "t.repair")
+    assert out is not None, "repair loop must keep the parallel path"
+    assert out.tobytes() == part0 + text1 + part2
