@@ -199,9 +199,12 @@ def bench_uniq_sort_10m(workdir: pathlib.Path) -> dict | None:
                    "-i", str(fixture), "-s", "-o", str(workdir / "bn")]]
         # PALLAS_AXON_POOL_IPS cleared: the host-placement fast paths never
         # touch jax, and skipping sitecustomize's axon registration saves
-        # ~1.8s of interpreter startup per CLI invocation
+        # ~1.8s of interpreter startup per CLI invocation.
+        # NGSTPU_SHM_POOL=1 re-enables the cross-invocation tmpfs pool for
+        # the children (the bench parent opted out in main() so it does
+        # not hold the pool flock they need)
         o_env = {"JAX_PLATFORMS": "", "NGSTPU_LINK": "host",
-                 "PALLAS_AXON_POOL_IPS": "",
+                 "PALLAS_AXON_POOL_IPS": "", "NGSTPU_SHM_POOL": "1",
                  "NGSTPU_STAGE_JSON": str(stage_path)}
         parity = None
         draws = {"c": [], "ours": []}
@@ -310,7 +313,8 @@ def _interleaved(name, c_cmds, o_cmds, c_dir, o_dir, rounds, parity_fn,
     once, and deletes both sides' outputs between rounds so round 2+
     compares on a warm guest page pool (see bench_uniq_sort_10m)."""
     o_env = {"JAX_PLATFORMS": "", "NGSTPU_LINK": "host",
-             "PALLAS_AXON_POOL_IPS": "", "PYTHONPATH": str(REPO)}
+             "PALLAS_AXON_POOL_IPS": "", "NGSTPU_SHM_POOL": "1",
+             "PYTHONPATH": str(REPO)}
     draws = {"c": [], "ours": []}
     parity = None
     for rd in range(rounds):
@@ -491,6 +495,11 @@ def _install_fallback() -> None:
 
 def main() -> None:
     _install_fallback()
+    # the bench parent runs pipelines in-process (its pool stays warm for
+    # the whole process anyway) — opt out of the tmpfs-backed pool so the
+    # CLI children it spawns can own the pool flock and re-map warm pages
+    # across invocations; children get an explicit =1 override
+    os.environ["NGSTPU_SHM_POOL"] = "0"
     path = ensure_fixture()
     workdir = REPO / ".cache" / "bench" / "work"
     workdir.mkdir(parents=True, exist_ok=True)
