@@ -274,7 +274,7 @@ def dedup_groups_host_native(key: np.ndarray, key_lens: np.ndarray):
     both return (counts, rep) in key-ascending group order, identical to
     the device dedup_groups."""
     from ..io.native import get_lib
-    from ..ops.sortengine import classify_alphabet, pack_words_host
+    from .hostsort import classify_alphabet, pack_words_host
 
     B = len(key_lens)
     if B == 0:

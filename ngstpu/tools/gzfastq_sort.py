@@ -79,7 +79,7 @@ def _run_sort_fast(infile: str, outfile: str, by_name: bool,
 
     from ..io.fastindex import index_fastq, take_text
     from ..io.native import get_lib
-    from ..ops.sortengine import sort_perm_host
+    from ..ops.hostsort import sort_perm_host
     from ..utils.bufpool import get_buffer, get_matrix
     from ..utils.linkprobe import link_verdict, probe_link
     from .emitters import _RingWriter, _fresh
@@ -265,13 +265,13 @@ def _link_placement(operand: np.ndarray) -> str | None:
 
 def sort_perm_by_seq(batch, mesh_n: int = 0) -> np.ndarray:
     if mesh_n > 1:
-        from ..ops.sortengine import seq_words_host
+        from ..ops.hostsort import seq_words_host
 
         perm = _mesh_perm(seq_words_host(batch.seq), batch.lens, mesh_n)
         if perm is not None:
             return perm
     if _link_placement(batch.seq) == "host":
-        from ..ops.sortengine import seq_words_host, sort_perm_host
+        from ..ops.hostsort import seq_words_host, sort_perm_host
 
         perm = sort_perm_host(seq_words_host(batch.seq), batch.lens, True)
         if perm is not None:
@@ -292,13 +292,13 @@ def sort_perm_by_name(batch, mesh_n: int = 0) -> np.ndarray:
     lmax = (lmax + 3) // 4 * 4
     padded = fill_padded(batch.names, batch.name_starts, batch.name_lens, lmax)
     if mesh_n > 1:
-        from ..ops.sortengine import bytes_to_words_host
+        from ..ops.hostsort import bytes_to_words_host
 
         perm = _mesh_perm(bytes_to_words_host(padded), batch.name_lens, mesh_n)
         if perm is not None:
             return perm
     if _link_placement(padded) == "host":
-        from ..ops.sortengine import bytes_to_words_host, sort_perm_host
+        from ..ops.hostsort import bytes_to_words_host, sort_perm_host
 
         perm = sort_perm_host(bytes_to_words_host(padded), batch.name_lens,
                               True)

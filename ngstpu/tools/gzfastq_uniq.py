@@ -178,7 +178,7 @@ def run_se(read1: str, outfile: str, timer: StageTimer,
         return
     import jax.numpy as jnp
 
-    from ..ops.sortengine import sum_quality_host
+    from ..ops.hostsort import sum_quality_host
 
     batch = read_fastq_file(read1)
     sumq = jnp.asarray(sum_quality_host(batch.qual))
@@ -316,7 +316,7 @@ def run_pe(read1: str, read2: str, outfile: str, timer: StageTimer,
     key_lens = (b1.lens[:n].astype(np.int64) + b2.lens[:n].astype(np.int64)).astype(np.int32)
     import jax.numpy as jnp
 
-    from ..ops.sortengine import sum_quality_host
+    from ..ops.hostsort import sum_quality_host
 
     sumq = jnp.asarray(sum_quality_host(np.ascontiguousarray(b1.qual[:n]))
                        + sum_quality_host(np.ascontiguousarray(b2.qual[:n])))
