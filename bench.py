@@ -265,6 +265,9 @@ def bench_uniq_sort_10m(workdir: pathlib.Path) -> dict | None:
         out = {
             "metric": "uniq_sort_10m_reads_per_sec", "unit": "reads/s",
             "reads": n, "placement": "host", "rounds": len(draws["c"]),
+            # min-of-N is taken per side over that side's own draw count
+            # (full per-draw arrays below) — ours samples 2x per round
+            "c_draws": len(draws["c"]), "ours_draws": len(draws["ours"]),
             "value": round(n / o_best, 1),
             "vs_baseline": round(c_best / o_best, 3),
             "ours_seconds": round(o_best, 2),

@@ -167,21 +167,24 @@ def _inflate_gz_members_parallel(lib, raw: np.ndarray,
     # <=1032x ratio test roughly half the time (measured: 2 of 3 false
     # boundaries in a 113MB fixture survived it, poisoning the layout and
     # costing a failed 1.3GB speculative decode before the slow fallback).
-    if len(starts) > 100_000:
-        return None  # implausibly member-dense; sequential path
-    import zlib
+    # Gated to few-member layouts (pigz / our ParallelGzipWriter): on a
+    # member-dense BGZF-style file the serial Python probe would cost
+    # more than the decode it protects, and the decode-driven repair
+    # loop below recovers any surviving false boundary either way.
+    if len(starts) <= 512:
+        import zlib
 
-    keep = np.ones(len(starts), bool)
-    for i in range(1, len(starts)):
-        s = int(starts[i])
-        try:
-            zlib.decompressobj(wbits=31).decompress(
-                raw[s:s + 4096].tobytes())
-        except zlib.error:
-            keep[i] = False
-    starts = starts[keep]
-    if len(starts) < 2:
-        return None
+        keep = np.ones(len(starts), bool)
+        for i in range(1, len(starts)):
+            s = int(starts[i])
+            try:
+                zlib.decompressobj(wbits=31).decompress(
+                    raw[s:s + 4096].tobytes())
+            except zlib.error:
+                keep[i] = False
+        starts = starts[keep]
+        if len(starts) < 2:
+            return None
     # a FALSE boundary (the 3-byte magic inside compressed data) splits a
     # real member in two, and the first piece's "ISIZE" reads mid-stream
     # garbage — prune such candidates and re-derive instead of rejecting

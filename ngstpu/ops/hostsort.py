@@ -118,9 +118,6 @@ def seq_words_host(padded_np: np.ndarray,
     if dna3 is None:
         dna3 = is_dna3_compatible(padded_np, None)
     if dna3:
-        out = _pack_host(padded_np, "dna3")
-        if out is not None:
-            return out
         return pack_words_host(padded_np, "dna3")
     return bytes_to_words_host(padded_np)
 

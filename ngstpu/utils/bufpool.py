@@ -51,8 +51,15 @@ def _shm_init() -> str:
         import fcntl
 
         os.makedirs(base, mode=0o700, exist_ok=True)
+        # /dev/shm is world-writable+sticky: refuse a dir another user
+        # pre-created (or loosened) — pool files carry decompressed user
+        # data in MAP_SHARED pages and must stay private
+        st = os.stat(base)
+        if st.st_uid != os.geteuid() or (st.st_mode & 0o077):
+            return ""
         fd = os.open(os.path.join(base, ".lock"),
-                     os.O_RDWR | os.O_CREAT | os.O_CLOEXEC, 0o600)
+                     os.O_RDWR | os.O_CREAT | os.O_CLOEXEC
+                     | getattr(os, "O_NOFOLLOW", 0), 0o600)
         try:
             fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
         except OSError:
@@ -72,9 +79,13 @@ def _shm_used(d: str) -> int:
         return 0
 
 
-def _shm_map(name: str, cap: int) -> mmap.mmap | None:
+def _shm_map(name: str, cap: int) -> tuple[mmap.mmap, bool] | None:
     """A MAP_SHARED mapping of the named tmpfs-backed pool file grown to
-    `cap` bytes, or None (caller falls back to anonymous memory).
+    `cap` bytes as (mapping, fresh), or None (caller falls back to
+    anonymous memory). `fresh` is False when an existing >=cap file was
+    re-mapped — its pages are already allocated (likely still resident
+    from the previous run), so the caller skips the pre-touch: lazy
+    minor faults during use beat a serial upfront walk.
     Called with `_lock` already held by get_buffer."""
     global _shm_dir
     if _shm_dir is None:
@@ -93,17 +104,56 @@ def _shm_map(name: str, cap: int) -> mmap.mmap | None:
             # free, and an oversized request must not evict warm siblings
             if _shm_used(_shm_dir) - cur + cap > _SHM_BUDGET:
                 return None
-        fd = os.open(path, os.O_RDWR | os.O_CREAT | os.O_CLOEXEC, 0o600)
+            # ftruncate is sparse and tmpfs pages materialize on first
+            # touch — past-capacity touches SIGBUS the process, so gate
+            # on actual free space (with margin) instead of crashing
+            vfs = os.statvfs(_shm_dir)
+            if cap - cur > vfs.f_bavail * vfs.f_frsize - (256 << 20):
+                return None
+            if cur:
+                # grow = fresh pages under anonymous maps; unlink the old
+                # inode so any stale views that survived a BufferError'd
+                # close keep their own (orphaned) pages instead of
+                # aliasing the regrown buffer through the shared file
+                os.unlink(path)
+        flags = (os.O_RDWR | os.O_CREAT | os.O_CLOEXEC
+                 | getattr(os, "O_NOFOLLOW", 0))
+        fd = os.open(path, flags, 0o600)
     except OSError:
         return None
     try:
         if os.fstat(fd).st_size < cap:
             os.ftruncate(fd, cap)
-        return mmap.mmap(fd, cap)
+            return mmap.mmap(fd, cap), True
+        return mmap.mmap(fd, cap), False
     except (OSError, ValueError):
         return None
     finally:
         os.close(fd)
+
+
+def clear_shm_pool() -> None:
+    """Delete this process's on-tmpfs pool files (reclaims the pinned
+    pages; tmpfs memory is not evictable without swap). Call from
+    maintenance paths — live mappings in this process keep their
+    (orphaned) pages until released."""
+    global _shm_dir
+    with _lock:
+        if _shm_dir is None:
+            _shm_dir = _shm_init()
+        d = _shm_dir
+        if not d:
+            return
+        try:
+            with os.scandir(d) as it:
+                for e in it:
+                    if e.name.endswith(".buf"):
+                        try:
+                            os.unlink(e.path)
+                        except OSError:
+                            pass
+        except OSError:
+            pass
 
 
 def _round_cap(nbytes: int) -> int:
@@ -133,9 +183,12 @@ def get_buffer(name: str, nbytes: int, dtype=np.uint8) -> np.ndarray:
                 except BufferError:
                     pass  # live views keep it alive; GC reclaims later
             cap = _round_cap(nbytes)
-            mm = _shm_map(name, cap)
-            if mm is None:
+            fresh = True
+            shm = _shm_map(name, cap)
+            if shm is None:
                 mm = mmap.mmap(-1, cap)
+            else:
+                mm, fresh = shm
             if hasattr(mm, "madvise") and hasattr(mmap, "MADV_HUGEPAGE"):
                 try:
                     mm.madvise(mmap.MADV_HUGEPAGE)
@@ -145,10 +198,13 @@ def get_buffer(name: str, nbytes: int, dtype=np.uint8) -> np.ndarray:
             # but only up to a bound: a multi-GB request (e.g. sized from an
             # untrusted header field) must not turn into minutes of
             # synchronous page faults; beyond the bound the consumer pays
-            # faults lazily for exactly the pages it writes. (Warm shm
-            # pages only minor-fault here — that is the cross-run win.)
-            pretouch = int(os.environ.get("NGSTPU_PRETOUCH_MAX", 1 << 30))
-            np.frombuffer(mm, dtype=np.uint8)[:min(cap, pretouch):4096] = 0
+            # faults lazily for exactly the pages it writes. A re-mapped
+            # shm file's pages are already allocated — skip the walk and
+            # let use-time minor faults overlap compute instead.
+            if fresh:
+                pretouch = int(os.environ.get("NGSTPU_PRETOUCH_MAX",
+                                              1 << 30))
+                np.frombuffer(mm, dtype=np.uint8)[:min(cap, pretouch):4096] = 0
             _pool[name] = (mm, cap)
             ent = _pool[name]
     itemsize = np.dtype(dtype).itemsize

@@ -18,6 +18,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 _repo = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(_repo))
 
+# Keep the suite off the global /dev/shm pool: it would grow the shared
+# pool files and contend with a concurrently running bench/CLI for the
+# flock. The dedicated bufpool tests opt back in with their own dirs.
+os.environ.setdefault("NGSTPU_SHM_POOL", "0")
+
 # Persistent XLA compilation cache: makes repeated test runs fast.
 _cache = _repo / ".cache" / "jax"
 _cache.mkdir(parents=True, exist_ok=True)

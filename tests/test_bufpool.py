@@ -19,8 +19,9 @@ print(json.dumps({"shm_dir": bp._shm_dir, "ok": bool((a[:16] == 7).all())}))
 
 
 def _run_child(pool_dir, extra_env=None):
-    env = {**os.environ, "NGSTPU_SHM_POOL_DIR": pool_dir,
-           **(extra_env or {})}
+    # conftest disables the pool suite-wide; re-enable for these tests
+    env = {**os.environ, "NGSTPU_SHM_POOL": "1",
+           "NGSTPU_SHM_POOL_DIR": pool_dir, **(extra_env or {})}
     r = subprocess.run([sys.executable, "-c", _CHILD % REPO],
                        capture_output=True, text=True, env=env, timeout=60)
     assert r.returncode == 0, r.stderr
@@ -71,7 +72,8 @@ def test_shm_pool_grow_across_processes(tmp_path):
     _run_child(d)
     size1 = (tmp_path / "pool" / "t.shm.buf").stat().st_size
     child = _CHILD.replace("8 << 20", "64 << 20")
-    env = {**os.environ, "NGSTPU_SHM_POOL_DIR": d}
+    env = {**os.environ, "NGSTPU_SHM_POOL": "1",
+           "NGSTPU_SHM_POOL_DIR": d}
     r = subprocess.run([sys.executable, "-c", child % REPO],
                        capture_output=True, text=True, env=env, timeout=60)
     assert r.returncode == 0, r.stderr
