@@ -79,3 +79,23 @@ def test_shm_pool_grow_across_processes(tmp_path):
     assert r.returncode == 0, r.stderr
     assert json.loads(r.stdout)["ok"]
     assert (tmp_path / "pool" / "t.shm.buf").stat().st_size > size1
+
+
+def test_clear_shm_pool(tmp_path):
+    d = str(tmp_path / "pool")
+    _run_child(d)
+    assert (tmp_path / "pool" / "t.shm.buf").exists()
+    child = """
+import json, os, sys
+sys.path.insert(0, %r)
+import ngstpu.utils.bufpool as bp
+bp.get_buffer("t.shm", 1 << 20)
+bp.clear_shm_pool()
+print(json.dumps(sorted(os.listdir(bp._shm_dir))))
+""" % REPO
+    env = {**os.environ, "NGSTPU_SHM_POOL": "1", "NGSTPU_SHM_POOL_DIR": d}
+    r = subprocess.run([sys.executable, "-c", child],
+                       capture_output=True, text=True, env=env, timeout=60)
+    assert r.returncode == 0, r.stderr
+    # every .buf reclaimed; only the lock file remains
+    assert json.loads(r.stdout) == [".lock"]
