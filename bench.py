@@ -487,6 +487,12 @@ def bench_pileup() -> dict:
 
 _printed = False
 
+# sections fill this as they complete so a mid-run SIGTERM still reports
+# every finished measurement instead of a zero fallback
+_partial: dict = {"metric": "count_trim_uniq_reads_per_sec", "value": 0.0,
+                  "unit": "reads/s", "vs_baseline": 0.0,
+                  "extra_metrics": []}
+
 
 def _emit(payload: dict) -> None:
     global _printed
@@ -496,13 +502,12 @@ def _emit(payload: dict) -> None:
 
 
 def _install_fallback() -> None:
-    """If the harness times us out mid-compile, still report something."""
+    """If the harness times us out mid-run, report what completed."""
     import signal
 
     def handler(signum, frame):
-        _emit({"metric": "count_trim_uniq_reads_per_sec", "value": 0.0,
-               "unit": "reads/s", "vs_baseline": 0.0,
-               "note": "terminated before measurement completed"})
+        _partial.setdefault("note", "terminated before all sections ran")
+        _emit(_partial)
         raise SystemExit(1)
 
     for sig in (signal.SIGTERM, signal.SIGINT):
@@ -551,7 +556,9 @@ def main() -> None:
         f"composite(count+trim+uniq) ours={ours_best:.2f}s ({rps:,.0f} r/s) "
         f"C_ref={'%.2f' % c_best if c_best else 'n/a'}s "
         f"speedup={vs:.2f}x stages: {stage_str}\n")
-    extras = []
+    _partial["value"] = round(rps, 1)
+    _partial["vs_baseline"] = round(vs, 3)
+    extras = _partial["extra_metrics"]
     gz = bench_gz_composite(workdir)
     if gz is not None:
         extras.append(gz)
