@@ -108,6 +108,7 @@ def _inflate_gz(path: str, pool: str) -> np.ndarray | None:
     # retries are bounded: 4 doublings covers compression ratios to ~64x
     # (FASTQ is typically 3-4x); corrupt inputs fail fast each attempt and
     # then take the generic gzip path, which raises the precise error
+    prev_produced = -1
     for _ in range(4):
         out = get_buffer(pool + ".gzdata", cap)
         caps = np.array([cap], np.int64)
@@ -115,6 +116,13 @@ def _inflate_gz(path: str, pool: str) -> np.ndarray | None:
                                             offs, caps, sizes, 0)
         if rc == 0:
             return out[:int(sizes[0])]
+        # a short buffer produces MORE with a bigger one; a failure at
+        # the same produced size below cap is corrupt/odd-layout data —
+        # doubling again only re-pays the inflate (and a growing buffer)
+        produced = int(sizes[0])
+        if produced == prev_produced and produced < cap:
+            return None
+        prev_produced = produced
         cap *= 2
     return None
 
